@@ -1,0 +1,185 @@
+"""SE(3) geometry: batched (weighted) Kabsch, rigid flow, transforms.
+
+TPU-native equivalents of the reference's three Kabsch variants:
+
+  * ``utils/util.py:62-98``   — unweighted, reflection correction disabled.
+  * ``models/raflow.py:116-155`` — 0/1-mask weighted, centroids are
+    ``mean(A * W)`` over **all** N (i.e. ``sum(A*W)/N``), reflection
+    corrected by negating the third **row** of V.
+  * ``models/cmflow.py:128-169`` — weights already normalized to sum 1,
+    centroids are ``sum(A * W)``, same row-negation correction.
+
+All of that is expressed here as one function, fully batched and jittable —
+no per-batch python loops (the reference loops over the batch in
+``SFR_module`` and ``refine_with_transform``).
+
+Note on the reflection fix: the textbook Kabsch correction negates the last
+*column* of V (as the reference's own numpy ``rigid_transform_3D`` does at
+utils/util.py:136-139), while the reference's torch path negates the last
+*row*.  Both restore det(R) = +1; we default to reference-exact ``"row"``
+for parity and offer ``"col"`` (textbook) and ``"none"``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def weighted_kabsch(
+    a: Array,
+    b: Array,
+    weights: Optional[Array] = None,
+    *,
+    centroid: str = "norm",
+    reflect: str = "row",
+) -> Array:
+    """Best-fit rigid transform T with ``b ≈ T @ a`` per batch element.
+
+    Args:
+      a: ``[B, N, 3]`` source points (channels-last).
+      b: ``[B, N, 3]`` target points.
+      weights: optional ``[B, N]`` nonnegative weights. ``None`` = uniform.
+      centroid: how to form centroids from weights —
+        ``"norm"``: normalize weights to sum 1 (the numerically sane choice;
+          matches cmflow.py:96-110 where scores are pre-normalized);
+        ``"mean_n"``: ``sum(x * w) / N`` exactly as raflow.py:126-127 (a 0/1
+          mask divided by total N, not the inlier count);
+        ``"sum"``: ``sum(x * w)`` with weights used as-is
+          (cmflow.py:138-139 — caller must pre-normalize).
+      reflect: ``"row"`` (reference-exact), ``"col"`` (textbook), ``"none"``
+        (utils/util.py:87 disables the correction).
+
+    Returns:
+      ``[B, 4, 4]`` homogeneous transforms.
+    """
+    bsz, n, _ = a.shape
+    if weights is None:
+        w = jnp.full((bsz, n), 1.0 / n, a.dtype)
+    else:
+        w = weights.astype(a.dtype)
+
+    if centroid == "norm":
+        wn = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+    elif centroid == "mean_n":
+        wn = w / n
+    elif centroid == "sum":
+        wn = w
+    else:
+        raise ValueError(f"unknown centroid mode {centroid!r}")
+
+    centroid_a = jnp.einsum("bn,bnc->bc", wn, a)
+    centroid_b = jnp.einsum("bn,bnc->bc", wn, b)
+
+    am = a - centroid_a[:, None, :]
+    bm = b - centroid_b[:, None, :]
+
+    # H = Am^T diag(w) Bm  — 3x3, rides the MXU.
+    h = jnp.einsum("bnc,bn,bnd->bcd", am, w, bm,
+                   preferred_element_type=jnp.float32)
+
+    # jnp.linalg.svd returns (U, S, Vh) with H = U @ diag(S) @ Vh;
+    # torch.svd returns V = Vh^T.
+    u, _, vh = jnp.linalg.svd(h)
+    v = jnp.swapaxes(vh, -1, -2)
+    ut = jnp.swapaxes(u, -1, -2)
+
+    z = v @ ut
+    det = jnp.linalg.det(z)
+    flip = jnp.where(det < 0, -1.0, 1.0).astype(a.dtype)
+
+    if reflect == "row":
+        # reference-exact: negate third row of V when det < 0
+        v = v.at[:, 2, :].multiply(flip[:, None])
+    elif reflect == "col":
+        v = v.at[:, :, 2].multiply(flip[:, None])
+    elif reflect != "none":
+        raise ValueError(f"unknown reflect mode {reflect!r}")
+
+    r = v @ ut
+    t = centroid_b - jnp.einsum("bij,bj->bi", r, centroid_a)
+    return make_transform(r, t)
+
+
+def make_transform(r: Array, t: Array) -> Array:
+    """Assemble ``[B, 4, 4]`` from rotation ``[B, 3, 3]`` and translation
+    ``[B, 3]``."""
+    bsz = r.shape[0]
+    top = jnp.concatenate([r, t[:, :, None]], axis=2)
+    bottom = jnp.broadcast_to(
+        jnp.array([[0.0, 0.0, 0.0, 1.0]], r.dtype), (bsz, 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=1)
+
+
+def rigid_to_flow(pc: Array, trans: Array) -> Array:
+    """Scene flow induced by a rigid transform (utils/util.py:184-189).
+
+    Args:
+      pc: ``[B, N, 3]``.
+      trans: ``[B, 4, 4]``.
+    Returns:
+      ``[B, N, 3]`` flow = T(pc) - pc.
+    """
+    moved = apply_transform(pc, trans)
+    return moved - pc
+
+
+def apply_transform(pc: Array, trans: Array) -> Array:
+    """Apply homogeneous transform(s) to points: ``[B,N,3] x [B,4,4]``."""
+    r = trans[:, :3, :3]
+    t = trans[:, :3, 3]
+    return jnp.einsum("bij,bnj->bni", r, pc) + t[:, None, :]
+
+
+def se3_inverse(trans: Array) -> Array:
+    """Batched inverse of rigid transforms ``[B, 4, 4]``."""
+    r = trans[..., :3, :3]
+    t = trans[..., :3, 3]
+    r_inv = jnp.swapaxes(r, -1, -2)
+    t_inv = -jnp.einsum("...ij,...j->...i", r_inv, t)
+    return make_transform(
+        r_inv.reshape(-1, 3, 3), t_inv.reshape(-1, 3)
+    ).reshape(trans.shape)
+
+
+def relative_se3(t1: Array, t2: Array) -> Array:
+    """``t1^{-1} @ t2`` (utils/odometry_util.py:63-78), batched."""
+    return se3_inverse(t1) @ t2
+
+
+def quat2mat(quat: Array) -> Array:
+    """Quaternion (x, y, z, w) to rotation matrix (utils/util.py:191-203)."""
+    x, y, z, w = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+    w2, x2, y2, z2 = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    rot = jnp.stack(
+        [
+            w2 + x2 - y2 - z2, 2 * xy - 2 * wz, 2 * wy + 2 * xz,
+            2 * wz + 2 * xy, w2 - x2 + y2 - z2, 2 * yz - 2 * wx,
+            2 * xz - 2 * wy, 2 * wx + 2 * yz, w2 - x2 - y2 + z2,
+        ],
+        axis=1,
+    )
+    return rot.reshape(-1, 3, 3)
+
+
+def kde_density(xyz1: Array, xyz2: Array, bandwidth: float = 1.0) -> Array:
+    """Gaussian KDE point density (compute_density_loss, utils/util.py:172-182).
+
+    Args:
+      xyz1: ``[B, N, 3]`` query points.
+      xyz2: ``[B, M, 3]`` reference points.
+    Returns:
+      ``[B, N]`` mean Gaussian density of each query point w.r.t. xyz2.
+    """
+    from cmflow_tpu.ops.pointops import square_distance
+
+    sqrdists = square_distance(xyz1, xyz2)
+    g = jnp.exp(-sqrdists / (2.0 * bandwidth * bandwidth)) / (2.5 * bandwidth)
+    return jnp.mean(g, axis=-1)

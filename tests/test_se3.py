@@ -1,0 +1,160 @@
+"""Tests for weighted Kabsch and SE(3) utilities (vs. reference math)."""
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+import jax.numpy as jnp
+
+from cmflow_tpu import geometry
+
+
+def random_rigid(rng, scale=1.0):
+    r = Rotation.from_rotvec(rng.randn(3) * scale).as_matrix()
+    t = rng.randn(3) * scale
+    trans = np.eye(4)
+    trans[:3, :3] = r
+    trans[:3, 3] = t
+    return trans.astype(np.float32)
+
+
+def np_reference_kabsch(a, b, w, centroid):
+    """Reference torch math re-expressed in numpy (models/cmflow.py:128-169,
+    models/raflow.py:116-155), including the row-flip reflection branch."""
+    bsz, n, _ = a.shape
+    if centroid == "mean_n":
+        wn = w / n
+    elif centroid == "sum":
+        wn = w
+    else:
+        raise ValueError(centroid)
+    ca = np.einsum("bn,bnc->bc", wn, a)
+    cb = np.einsum("bn,bnc->bc", wn, b)
+    am = a - ca[:, None]
+    bm = b - cb[:, None]
+    h = np.einsum("bnc,bn,bnd->bcd", am, w, bm)
+    out = np.zeros((bsz, 4, 4))
+    for i in range(bsz):
+        u, _, vt = np.linalg.svd(h[i])
+        v = vt.T
+        z = v @ u.T
+        if np.linalg.det(z) < 0:
+            v = v.copy()
+            v[2, :] *= -1
+        r = v @ u.T
+        t = -r @ ca[i] + cb[i]
+        out[i, :3, :3] = r
+        out[i, :3, 3] = t
+        out[i, 3, 3] = 1
+    return out
+
+
+class TestWeightedKabsch:
+    def test_recovers_exact_transform(self, rng):
+        for _ in range(5):
+            trans = random_rigid(rng)
+            a = rng.randn(1, 64, 3).astype(np.float32)
+            b = a @ trans[:3, :3].T + trans[:3, 3]
+            got = np.asarray(
+                geometry.weighted_kabsch(jnp.array(a), jnp.array(b))
+            )
+            np.testing.assert_allclose(got[0], trans, atol=1e-4)
+
+    def test_weighted_ignores_outliers(self, rng):
+        trans = random_rigid(rng)
+        a = rng.randn(1, 64, 3).astype(np.float32)
+        b = a @ trans[:3, :3].T + trans[:3, 3]
+        # corrupt half the points; weight them to zero
+        b_noisy = b.copy()
+        b_noisy[:, 32:] += rng.randn(1, 32, 3) * 5
+        w = np.ones((1, 64), np.float32)
+        w[:, 32:] = 0
+        got = np.asarray(
+            geometry.weighted_kabsch(jnp.array(a), jnp.array(b_noisy),
+                                     jnp.array(w))
+        )
+        np.testing.assert_allclose(got[0], trans, atol=1e-4)
+
+    def test_matches_reference_math_sum_mode(self, rng):
+        # normalized weights, centroid='sum' = CMFlow's WeightedKabsch
+        a = rng.randn(3, 32, 3).astype(np.float32)
+        b = (a + rng.randn(3, 32, 3) * 0.1).astype(np.float32)
+        w = rng.rand(3, 32).astype(np.float32) + 1e-4
+        w = w / w.sum(1, keepdims=True)
+        got = np.asarray(
+            geometry.weighted_kabsch(jnp.array(a), jnp.array(b), jnp.array(w),
+                                     centroid="sum")
+        )
+        want = np_reference_kabsch(a, b, w, "sum")
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_matches_reference_math_mean_n_mode(self, rng):
+        # 0/1 mask, centroid='mean_n' = RaFlow's rigid_transform_torch
+        a = rng.randn(2, 40, 3).astype(np.float32)
+        b = (a + rng.randn(2, 40, 3) * 0.05).astype(np.float32)
+        w = (rng.rand(2, 40) > 0.3).astype(np.float32)
+        got = np.asarray(
+            geometry.weighted_kabsch(jnp.array(a), jnp.array(b), jnp.array(w),
+                                     centroid="mean_n")
+        )
+        want = np_reference_kabsch(a, b, w, "mean_n")
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_reflection_case_det_positive(self, rng):
+        # degenerate planar points can trigger det<0; result must still be a
+        # proper rotation
+        a = rng.randn(1, 16, 3).astype(np.float32)
+        a[:, :, 2] = 0  # planar
+        b = -a  # mirror-ish correspondence
+        got = np.asarray(geometry.weighted_kabsch(jnp.array(a), jnp.array(b)))
+        det = np.linalg.det(got[0, :3, :3])
+        np.testing.assert_allclose(det, 1.0, atol=1e-4)
+
+
+class TestSE3Utils:
+    def test_rigid_to_flow(self, rng):
+        trans = random_rigid(rng)[None]
+        pc = rng.randn(1, 32, 3).astype(np.float32)
+        flow = np.asarray(geometry.rigid_to_flow(jnp.array(pc), jnp.array(trans)))
+        want = pc @ trans[0, :3, :3].T + trans[0, :3, 3] - pc
+        np.testing.assert_allclose(flow, want, atol=1e-5)
+
+    def test_se3_inverse(self, rng):
+        trans = np.stack([random_rigid(rng) for _ in range(4)])
+        inv = np.asarray(geometry.se3_inverse(jnp.array(trans)))
+        prod = np.einsum("bij,bjk->bik", trans, inv)
+        np.testing.assert_allclose(prod, np.tile(np.eye(4), (4, 1, 1)),
+                                   atol=1e-5)
+
+    def test_kde_density_matches_reference_formula(self, rng):
+        x1 = rng.randn(1, 16, 3).astype(np.float32)
+        x2 = rng.randn(1, 24, 3).astype(np.float32)
+        got = np.asarray(geometry.kde_density(jnp.array(x1), jnp.array(x2), 1.0))
+        d = (
+            np.sum(x1**2, -1)[:, :, None]
+            + np.sum(x2**2, -1)[:, None, :]
+            - 2 * np.einsum("bnc,bmc->bnm", x1, x2)
+        )
+        want = (np.exp(-np.maximum(d, 0) / 2.0) / 2.5).mean(-1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestCamera:
+    def test_point_on_ray_has_zero_distance(self, rng):
+        proj = np.array(
+            [[1495.47, 0.0, 961.27, 0.0],
+             [0.0, 1495.47, 624.90, 0.0],
+             [0.0, 0.0, 1.0, 0.0]], np.float32
+        )
+        t_cr = np.eye(4, dtype=np.float32)
+        # points in front of the camera
+        pts = np.abs(rng.randn(1, 8, 3)).astype(np.float32) + np.array(
+            [0, 0, 5], np.float32
+        )
+        uv = geometry.project_radar_to_image(
+            jnp.array(pts), jnp.array(proj), jnp.array(t_cr)
+        )
+        d = np.asarray(
+            geometry.point_ray_distance(jnp.array(pts), uv, jnp.array(proj),
+                                        jnp.array(t_cr))
+        )
+        np.testing.assert_allclose(d, 0.0, atol=1e-2)
