@@ -37,6 +37,7 @@ def weighted_kabsch(
     *,
     centroid: str = "norm",
     reflect: str = "row",
+    n_override: Optional[Array] = None,
 ) -> Array:
     """Best-fit rigid transform T with ``b ≈ T @ a`` per batch element.
 
@@ -53,6 +54,10 @@ def weighted_kabsch(
           (cmflow.py:138-139 — caller must pre-normalize).
       reflect: ``"row"`` (reference-exact), ``"col"`` (textbook), ``"none"``
         (utils/util.py:87 disables the correction).
+      n_override: optional ``[B]`` divisor replacing the static N in
+        ``"mean_n"`` mode — used with padded point sets so the centroid
+        divisor matches the *real* point count of each cloud (the reference
+        always runs unpadded, dividing by its dynamic N).
 
     Returns:
       ``[B, 4, 4]`` homogeneous transforms.
@@ -66,7 +71,10 @@ def weighted_kabsch(
     if centroid == "norm":
         wn = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
     elif centroid == "mean_n":
-        wn = w / n
+        if n_override is not None:
+            wn = w / jnp.maximum(n_override, 1.0)[:, None].astype(a.dtype)
+        else:
+            wn = w / n
     elif centroid == "sum":
         wn = w
     else:

@@ -1,0 +1,156 @@
+"""Model-level tests: shapes, parameter parity with the reference
+architecture, jit-ability, and padded/unpadded equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cmflow_tpu.models import build_model
+
+# Parameter counts hand-derived from the reference layer dims
+# (models/cmflow.py:21-48 etc.).  CMFlow_T differs from torch by -512: flax
+# GRUCell folds the redundant b_hr/b_hz biases (torch keeps b_ih AND b_hh).
+CMFLOW_PARAMS = 4_228_560
+RAFLOW_PARAMS = 4_055_568
+CMFLOW_T_PARAMS = CMFLOW_PARAMS + 394_752 - 512
+
+
+def make_inputs(rng, b=2, n=64):
+    pc1 = jnp.array(rng.randn(b, n, 3).astype(np.float32) * 5)
+    pc2 = jnp.array(rng.randn(b, n, 3).astype(np.float32) * 5)
+    ft1 = jnp.array(rng.randn(b, n, 3).astype(np.float32))
+    ft2 = jnp.array(rng.randn(b, n, 3).astype(np.float32))
+    interval = jnp.full((b,), 0.1, jnp.float32)
+    return pc1, pc2, ft1, ft2, interval
+
+
+def n_params(variables):
+    return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+
+
+class TestCMFlow:
+    def test_shapes_and_params(self, rng):
+        pc1, pc2, ft1, ft2, _ = make_inputs(rng)
+        m = build_model("cmflow")
+        v = m.init({"params": jax.random.PRNGKey(0)}, pc1, pc2, ft1, ft2,
+                   None, False)
+        assert n_params(v) == CMFLOW_PARAMS
+        sf, cls, trans, mask = m.apply(v, pc1, pc2, ft1, ft2, None, False)
+        assert sf.shape == (2, 64, 3)
+        assert cls.shape == (2, 64)
+        assert trans.shape == (2, 4, 4)
+        assert mask.shape == (2, 64) and mask.dtype == jnp.bool_
+        # stat_cls are probabilities
+        assert (np.asarray(cls) >= 0).all() and (np.asarray(cls) <= 1).all()
+        # bottom row of the transform is [0,0,0,1]
+        np.testing.assert_allclose(np.asarray(trans)[:, 3], [[0, 0, 0, 1]] * 2,
+                                   atol=1e-6)
+
+    def test_static_points_get_rigid_flow(self, rng):
+        pc1, pc2, ft1, ft2, _ = make_inputs(rng)
+        m = build_model("cmflow")
+        v = m.init({"params": jax.random.PRNGKey(0)}, pc1, pc2, ft1, ft2,
+                   None, False)
+        sf, cls, trans, mask = m.apply(v, pc1, pc2, ft1, ft2, None, False)
+        sf, cls, trans, mask = map(np.asarray, (sf, cls, trans, mask))
+        # for masked-static points, sf must equal the rigid flow of trans
+        h = np.concatenate([np.asarray(pc1), np.ones((2, 64, 1))], -1)
+        rigid = np.einsum("bij,bnj->bni", trans, h)[..., :3] - np.asarray(pc1)
+        if mask.any():
+            np.testing.assert_allclose(sf[mask], rigid[mask], atol=1e-4)
+
+    def test_train_mode_label_scores_and_batchstats(self, rng):
+        pc1, pc2, ft1, ft2, _ = make_inputs(rng)
+        label_m = jnp.array((rng.rand(2, 64) > 0.5).astype(np.float32))
+        m = build_model("cmflow")
+        v = m.init({"params": jax.random.PRNGKey(0)}, pc1, pc2, ft1, ft2,
+                   label_m, True)
+        out, mutated = m.apply(v, pc1, pc2, ft1, ft2, label_m, True,
+                               mutable=["batch_stats"])
+        sf, cls, trans, mask = out
+        # in train mode the binary mask comes from the label, not stat_cls
+        np.testing.assert_array_equal(np.asarray(mask),
+                                      np.asarray(label_m) > 0.5)
+        # batch stats were updated
+        old = jax.tree_util.tree_leaves(v["batch_stats"])
+        new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(old, new)
+        )
+
+    def test_padding_equivalence(self, rng):
+        """Padded static-shape eval must reproduce the unpadded outputs on
+        the real points — the core of the TPU static-shape design."""
+        b, n_real, n_pad = 1, 48, 64
+        pc1, pc2, ft1, ft2, _ = make_inputs(rng, b, n_real)
+        m = build_model("cmflow")
+        v = m.init({"params": jax.random.PRNGKey(0)}, pc1, pc2, ft1, ft2,
+                   None, False)
+        sf_u, cls_u, trans_u, mask_u = m.apply(
+            v, pc1, pc2, ft1, ft2, None, False
+        )
+
+        def pad(x):
+            # garbage padding far away from the scene
+            fill = np.full((b, n_pad - n_real, x.shape[-1]), 777.0, np.float32)
+            return jnp.concatenate([x, jnp.array(fill)], axis=1)
+
+        valid = jnp.array(
+            np.arange(n_pad)[None] < n_real
+        )
+        sf_p, cls_p, trans_p, mask_p = m.apply(
+            v, pad(pc1), pad(pc2), pad(ft1), pad(ft2), None, False,
+            valid1=valid, valid2=valid,
+        )
+        np.testing.assert_allclose(np.asarray(sf_p)[:, :n_real],
+                                   np.asarray(sf_u), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(cls_p)[:, :n_real],
+                                   np.asarray(cls_u), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(trans_p), np.asarray(trans_u),
+                                   atol=2e-3)
+        assert not np.asarray(mask_p)[:, n_real:].any()
+
+
+class TestRaFlow:
+    def test_shapes_and_params(self, rng):
+        pc1, pc2, ft1, ft2, interval = make_inputs(rng)
+        m = build_model("raflow")
+        v = m.init({"params": jax.random.PRNGKey(0)}, pc1, pc2, ft1, ft2,
+                   interval, False)
+        assert n_params(v) == RAFLOW_PARAMS
+        out, sf, trans, mask = m.apply(v, pc1, pc2, ft1, ft2, interval, False)
+        assert out.shape == (2, 64, 3)
+        assert sf.shape == (2, 64, 3)
+        assert trans.shape == (2, 4, 4)
+        assert mask.dtype == jnp.bool_
+
+    def test_jit(self, rng):
+        pc1, pc2, ft1, ft2, interval = make_inputs(rng)
+        m = build_model("raflow")
+        v = m.init({"params": jax.random.PRNGKey(0)}, pc1, pc2, ft1, ft2,
+                   interval, False)
+        f = jax.jit(lambda v, *a: m.apply(v, *a, False))
+        out = f(v, pc1, pc2, ft1, ft2, interval)
+        out2 = m.apply(v, pc1, pc2, ft1, ft2, interval, False)
+        for a, b in zip(out, out2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
+class TestCMFlowT:
+    def test_shapes_params_and_carry(self, rng):
+        pc1, pc2, ft1, ft2, _ = make_inputs(rng)
+        m = build_model("cmflow_t")
+        g0 = jnp.zeros((2, 256))
+        v = m.init({"params": jax.random.PRNGKey(0)}, pc1, pc2, ft1, ft2,
+                   None, False, g0)
+        assert n_params(v) == CMFLOW_T_PARAMS
+        sf, cls, trans, mask, g1 = m.apply(v, pc1, pc2, ft1, ft2, None,
+                                           False, g0)
+        assert g1.shape == (2, 256)
+        # feeding the evolved carry changes the prediction
+        sf2, *_ = m.apply(v, pc1, pc2, ft1, ft2, None, False, g1)
+        assert not np.allclose(np.asarray(sf), np.asarray(sf2))
