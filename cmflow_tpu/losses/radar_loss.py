@@ -1,0 +1,225 @@
+"""Multi-task radar scene-flow losses (losses/radar_loss.py equivalents).
+
+All losses are pure jittable functions of arrays — no modules, no state.
+Layout is channels-last ``[B, N, 3]`` (the reference uses ``[B, 3, N]``).
+
+Reference line citations:
+  * soft_chamfer_loss        — losses/radar_loss.py:17-58
+  * spatial_smoothness_loss  — losses/radar_loss.py:60-98
+  * radial_displacement_loss — losses/radar_loss.py:100-122
+  * self_supervised_loss     — losses/radar_loss.py:124-161
+  * ego_motion_loss          — losses/radar_loss.py:163-182
+  * motion_seg_loss          — losses/radar_loss.py:184-205
+  * optical_flow_loss        — losses/radar_loss.py:207-242
+  * dynamic_flow_loss        — losses/radar_loss.py:244-258
+  * radar_flow_loss          — losses/radar_loss.py:260-292
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cmflow_tpu.geometry import camera as cam
+from cmflow_tpu.geometry import se3
+from cmflow_tpu.ops import pointops
+
+Array = jax.Array
+
+
+def soft_chamfer_loss(
+    pc1: Array, pc2: Array, pc1_warp: Array, zeta: float = 0.005
+) -> Array:
+    """Density-gated soft Chamfer distance (radar_loss.py:17-58).
+
+    KDE densities gate out low-density (likely noise) points; nearest
+    squared distances below 0.01 are free (soft threshold).
+    """
+    dens12 = se3.kde_density(pc1, pc2, 1.0)
+    dens21 = se3.kde_density(pc2, pc1, 1.0)
+    mask1 = (dens12 > zeta).astype(pc1.dtype)
+    mask2 = (dens21 > zeta).astype(pc1.dtype)
+
+    sqrdist = pointops.square_distance(pc1_warp, pc2)  # [B, N, M]
+    dist1 = jnp.min(sqrdist, axis=-1)  # warp -> pc2
+    dist2 = jnp.min(sqrdist, axis=1)  # pc2 -> warp
+    dist1 = jax.nn.relu(dist1 - 0.01) * mask1
+    dist2 = jax.nn.relu(dist2 - 0.01) * mask2
+    return jnp.mean(dist1) + jnp.mean(dist2)
+
+
+def spatial_smoothness_loss(
+    pc1: Array, pred_flow: Array, alpha: float = 0.5, num_nb: int = 8
+) -> Array:
+    """Distance-weighted local flow smoothness (radar_loss.py:60-98)."""
+    b, n, _ = pc1.shape
+    sqrdist = pointops.square_distance(pc1, pc1)
+    neg, kidx = lax.top_k(-sqrdist, num_nb + 1)  # ascending distances
+    dists = jnp.maximum(-neg[:, :, 1:], 0.0)  # drop self
+    kidx = kidx[:, :, 1:]
+
+    w = jax.nn.softmax(
+        jnp.exp(-dists / alpha).reshape(b, n * num_nb), axis=1
+    ).reshape(b, n, num_nb)
+
+    grouped = pointops.group_points(pred_flow, kidx)  # [B, N, K, 3]
+    diff = jnp.linalg.norm(grouped - pred_flow[:, :, None, :], axis=-1)
+    per_point = jnp.sum(n * w * diff, axis=2)
+    return jnp.mean(per_point)
+
+
+def radial_displacement_loss(
+    pc1: Array, pred_f: Array, vel1: Array, interval: float = 0.1
+) -> Array:
+    """Doppler radial-projection consistency (radar_loss.py:100-122).
+
+    NOTE the reference hardcodes interval=0.1 regardless of the sample's
+    measured frame interval (radar_loss.py:104, `self.interval = 0.1`);
+    VoD's interval is 0.1 s so the constant is kept as the default.
+    """
+    pred_fr = jnp.sum(pred_f * pc1, axis=-1) / jnp.linalg.norm(pc1, axis=-1)
+    return jnp.mean(jnp.abs(vel1 * interval - pred_fr))
+
+
+def self_supervised_loss(
+    pc1: Array,
+    pc2: Array,
+    pred_f: Array,
+    vel1: Array,
+    w_sc: float = 1.0,
+    w_ss: float = 1.0,
+    w_rd: float = 1.0,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Composite self-supervised loss (radar_loss.py:124-161)."""
+    pc1_warp = pc1 + pred_f
+    sc = soft_chamfer_loss(pc1, pc2, pc1_warp)
+    ss = spatial_smoothness_loss(pc1, pred_f)
+    rd = radial_displacement_loss(pc1, pred_f, vel1)
+    total = w_sc * sc + w_ss * ss + w_rd * rd
+    items = {
+        "Loss": total,
+        "chamferLoss": sc,
+        "smoothnessLoss": ss,
+        "veloLoss": rd,
+    }
+    return total, items
+
+
+def ego_motion_loss(pc1: Array, pre_trans: Array, gt_trans: Array) -> Array:
+    """Mean distance between pc1 moved by predicted vs gt transform
+    (radar_loss.py:163-182)."""
+    p_pre = se3.apply_transform(pc1, pre_trans)
+    p_gt = se3.apply_transform(pc1, gt_trans)
+    return jnp.mean(jnp.linalg.norm(p_pre - p_gt, axis=-1))
+
+
+def binary_cross_entropy(p: Array, y: Array) -> Array:
+    """Elementwise BCE on probabilities, torch.nn.BCELoss-compatible
+    (log clamped at -100)."""
+    logp = jnp.maximum(jnp.log(p), -100.0)
+    log1p = jnp.maximum(jnp.log1p(-p), -100.0)
+    return -(y * logp + (1.0 - y) * log1p)
+
+
+def motion_seg_loss(mseg_pre: Array, mseg_gt: Array) -> Array:
+    """Class-balanced BCE (radar_loss.py:184-205): mean over static points
+    plus mean over moving points, halved."""
+    bce = binary_cross_entropy(mseg_pre, mseg_gt)
+    is0 = (mseg_gt == 0).astype(bce.dtype)
+    is1 = (mseg_gt == 1).astype(bce.dtype)
+    # the reference's fancy-indexed means assume both classes are present;
+    # guard the denominators so an absent class contributes 0, not NaN
+    mean0 = jnp.sum(bce * is0) / jnp.maximum(jnp.sum(is0), 1.0)
+    mean1 = jnp.sum(bce * is1) / jnp.maximum(jnp.sum(is1), 1.0)
+    return 0.5 * (mean0 + mean1)
+
+
+def optical_flow_loss(
+    opt: Array,
+    radar_u: Array,
+    radar_v: Array,
+    pc1_warp: Array,
+    mseg_gt: Array,
+    projection: Array,
+    t_camera_radar: Array,
+    lower_bound: float = 0.25,
+) -> Array:
+    """Point-to-camera-ray reprojection loss on moving points
+    (radar_loss.py:207-242)."""
+    end_pixels = jnp.stack([radar_u, radar_v], axis=-1) + opt
+    opt_div = cam.point_ray_distance(
+        pc1_warp, end_pixels, projection, t_camera_radar
+    )
+    opt_div = jax.nn.relu(opt_div - lower_bound)
+    moving = 1.0 - lax.stop_gradient(mseg_gt.astype(opt_div.dtype))
+    return jnp.sum(moving * opt_div) / jnp.maximum(jnp.sum(moving), 1.0)
+
+
+def dynamic_flow_loss(pred_f: Array, gt_f: Array, dyn_mask: Array) -> Array:
+    """Supervised flow loss on (pseudo-labelled) moving points
+    (radar_loss.py:244-258).  ``dyn_mask``: 1 = static, 0 = moving."""
+    moving = 1.0 - dyn_mask
+    err = jnp.linalg.norm(gt_f - pred_f, axis=-1)
+    return jnp.sum(moving * err) / jnp.maximum(jnp.sum(moving), 1.0)
+
+
+def radar_flow_loss(
+    model: str,
+    pc1: Array,
+    pc2: Array,
+    pred_f: Array,
+    vel1: Array,
+    *,
+    gt_f: Optional[Array] = None,
+    pre_trans: Optional[Array] = None,
+    mseg_pre: Optional[Array] = None,
+    gt_trans: Optional[Array] = None,
+    mseg_gt: Optional[Array] = None,
+    dyn_mask: Optional[Array] = None,
+    radar_u: Optional[Array] = None,
+    radar_v: Optional[Array] = None,
+    opt: Optional[Array] = None,
+    projection: Optional[Array] = None,
+    t_camera_radar: Optional[Array] = None,
+    w_self: float = 1.0,
+    w_em: float = 1.0,
+    w_ms: float = 1.0,
+    w_opt: float = 0.1,
+    w_dyn: float = 1.0,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Composite loss dispatcher (radar_loss.py:260-292)."""
+    total, items = self_supervised_loss(pc1, pc2, pred_f, vel1)
+    total = w_self * total
+
+    if model in ("cmflow", "cmflow_t"):
+        em = ego_motion_loss(pc1, pre_trans, gt_trans)
+        ms = motion_seg_loss(mseg_pre, mseg_gt)
+        dyn = dynamic_flow_loss(pred_f, gt_f, dyn_mask)
+        opt_l = optical_flow_loss(
+            opt, radar_u, radar_v, pc1 + pred_f, mseg_gt,
+            projection, t_camera_radar,
+        )
+        total = total + w_em * em + w_ms * ms + w_opt * opt_l + w_dyn * dyn
+        items.update(
+            egoLoss=em, maskLoss=ms, opticalLoss=opt_l, superviseLoss=dyn
+        )
+
+    items["Loss"] = total
+    return total, items
+
+
+# Loss-item keys per model (losses/loss_dict.py equivalent)
+LOSS_ITEMS = {
+    "raflow": ("Loss", "chamferLoss", "veloLoss", "smoothnessLoss"),
+    "cmflow": (
+        "Loss", "chamferLoss", "veloLoss", "smoothnessLoss",
+        "egoLoss", "maskLoss", "superviseLoss", "opticalLoss",
+    ),
+    "cmflow_t": (
+        "Loss", "chamferLoss", "veloLoss", "smoothnessLoss",
+        "egoLoss", "maskLoss", "superviseLoss", "opticalLoss",
+    ),
+}

@@ -1,0 +1,60 @@
+"""Train-time pseudo-label generation, run *inside* the jitted train step
+(the reference runs these on-GPU before the forward pass,
+main_util.py:63-67,209-265)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cmflow_tpu.geometry import se3
+
+Array = jax.Array
+
+
+def extract_dynamic_from_fg(
+    fg_mask: Array, pc1: Array, trans: Array, flow_label: Array
+) -> Array:
+    """Refine the LiDAR-MOT foreground mask into a static/moving mask
+    (main_util.py:209-224).
+
+    Foreground points whose labelled flow is within 0.05 m of the rigid
+    (ego) flow are re-classified static.  Returns 1 = static, 0 = moving.
+
+    Args:
+      fg_mask: ``[B, N]`` pseudo FG mask (1 = background/static).
+      pc1: ``[B, N, 3]``.
+      trans: ``[B, 4, 4]`` gt ego transform.
+      flow_label: ``[B, N, 3]`` pseudo flow labels.
+    """
+    gt_sf_rg = se3.rigid_to_flow(pc1, trans)
+    flow_nr = gt_sf_rg - flow_label
+    fg = fg_mask != 1
+    nr_norm = jnp.linalg.norm(flow_nr * fg[..., None], axis=-1)
+    static = jnp.logical_or(fg_mask == 1, nr_norm < 0.05)
+    return static.astype(jnp.float32)
+
+
+def mseg_label_rrv(
+    pc1: Array,
+    trans: Array,
+    vel1: Array,
+    interval: Array,
+    vr_thres: float,
+) -> Tuple[Array, Array]:
+    """Motion-seg pseudo labels from relative radial velocity
+    (main_util.py:253-265).  Returns (label, residual); 1 = static."""
+    gt_sf_rg = se3.rigid_to_flow(pc1, trans)
+    proj = jnp.sum(gt_sf_rg * pc1, axis=-1) / jnp.linalg.norm(pc1, axis=-1)
+    residual = jnp.abs(vel1 - proj / interval[:, None])
+    bs = jnp.mean(residual, axis=1, keepdims=True)
+    label = ((residual - bs) < vr_thres).astype(jnp.float32)
+    return label, residual
+
+
+def merge_mseg_labels(mseg_rrv: Array, dyn_mask: Array) -> Array:
+    """Combine RRV labels with the FG-derived mask (main_util.py:66-67):
+    where dyn_mask says moving (0), force moving; else keep the RRV label."""
+    return jnp.where(dyn_mask == 1, mseg_rrv, dyn_mask)

@@ -1,0 +1,119 @@
+"""Metric-stack tests, including a golden-data test on the reference's
+released per-frame prediction dumps."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cmflow_tpu import evaluation as ev
+
+GOLDEN = "/root/reference/checkpoints/raflow_cvpr/results/delft_12/1000.json"
+
+
+class TestSceneFlowMetrics:
+    def test_perfect_prediction(self, rng):
+        pc = (rng.randn(1, 64, 3) + [10, 0, 1]).astype(np.float32)
+        flow = rng.randn(1, 64, 3).astype(np.float32)
+        mask = (rng.rand(1, 64) > 0.5).astype(np.float32)
+        m = ev.eval_scene_flow(pc, flow, flow, mask)
+        assert m["epe"] < 1e-6
+        assert m["rne"] < 1e-6
+        assert m["accs"] == 1.0 and m["accr"] == 1.0
+        assert m["sas"] == 1.0 and m["ras"] == 1.0
+
+    def test_rne_normalization(self, rng):
+        # constant error e along x; RNE = e / (res_r/res_l) pointwise
+        pc = (rng.randn(1, 64, 3) + [10, 0, 1]).astype(np.float64)
+        gt = np.zeros((1, 64, 3))
+        pred = gt.copy()
+        pred[..., 0] = 0.1
+        mask = np.ones((1, 64))
+        m = ev.eval_scene_flow(pc, pred, gt, mask)
+        res_r = np.sqrt(np.sum(ev.cartesian_res(pc, ev.RADAR_RES), -1) + 1e-20)
+        res_l = np.sqrt(np.sum(ev.cartesian_res(pc, ev.LIDAR_RES), -1) + 1e-20)
+        want = np.mean(0.1 / (res_r / res_l))
+        np.testing.assert_allclose(m["rne"], want, rtol=1e-6)
+        np.testing.assert_allclose(m["stat_rne"], m["rne"], rtol=1e-6)
+        # no moving points: mov_rne sums over empty / (0 + 1e-6) = 0
+        assert m["mov_rne"] == 0.0
+
+    def test_5050_rne_is_mean_of_split(self, rng):
+        pc = (rng.randn(1, 64, 3) + [10, 0, 1]).astype(np.float64)
+        gt = np.zeros((1, 64, 3))
+        pred = rng.rand(1, 64, 3) * 0.2
+        mask = np.zeros((1, 64))
+        mask[:, :32] = 1
+        m = ev.eval_scene_flow(pc, pred, gt, mask)
+        np.testing.assert_allclose(
+            m["50-50 rne"], (m["mov_rne"] + m["stat_rne"]) / 2, rtol=1e-9)
+
+
+class TestPoseMetrics:
+    def test_zero_error(self, rng):
+        from scipy.spatial.transform import Rotation
+        ts = []
+        for _ in range(4):
+            t = np.eye(4)
+            t[:3, :3] = Rotation.from_rotvec(rng.randn(3) * 0.1).as_matrix()
+            t[:3, 3] = rng.randn(3)
+            ts.append(t)
+        ts = np.stack(ts)
+        m = ev.eval_trans_rpe(ts, ts)
+        assert m["RTE"] < 1e-9 and m["RAE"] < 1e-6
+
+    def test_known_offsets(self):
+        gt = np.tile(np.eye(4), (2, 1, 1))
+        pred = gt.copy()
+        pred[:, 0, 3] = 0.5  # 0.5 m translation error
+        m = ev.eval_trans_rpe(gt, pred)
+        np.testing.assert_allclose(m["RTE"], 0.5, rtol=1e-9)
+        np.testing.assert_allclose(m["RAE"], 0.0, atol=1e-9)
+
+        from scipy.spatial.transform import Rotation
+        pred2 = gt.copy()
+        pred2[:, :3, :3] = Rotation.from_euler("z", 2.0, degrees=True).as_matrix()
+        m2 = ev.eval_trans_rpe(gt, pred2)
+        np.testing.assert_allclose(m2["RAE"], 2.0, rtol=1e-6)
+
+
+class TestSegMetrics:
+    def test_confusion_counts(self):
+        gt = np.array([[1, 1, 0, 0, 1, 0]])
+        pre = np.array([[1, 0, 0, 1, 1, 0]])
+        m = ev.eval_motion_seg(pre, gt)
+        # tp=2 tn=2 fp=1 fn=1
+        np.testing.assert_allclose(m["acc"], 4 / 6)
+        np.testing.assert_allclose(m["sen"], 2 / 3, rtol=1e-6)
+        np.testing.assert_allclose(
+            m["miou"], 0.5 * (2 / 4 + 2 / 4), rtol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden dump absent")
+class TestGoldenData:
+    """Run the metric stack on a real released prediction frame: the values
+    must be finite and self-consistent (pred vs itself == perfect)."""
+
+    def test_golden_frame(self):
+        with open(GOLDEN) as f:
+            d = json.load(f)
+        pc1 = np.array(d["pc1"]).T[None]  # stored [3, N]
+        pred_f = np.array(d["pred_f"]).T[None]
+        pred_m = np.array(d["pred_m"])[None]
+        pred_t = np.array(d["pred_t"])[None]
+
+        m = ev.eval_scene_flow(pc1, pred_f, pred_f, pred_m)
+        assert m["epe"] < 1e-9 and m["rne"] < 1e-9
+
+        pose = ev.eval_trans_rpe(pred_t, pred_t)
+        assert pose["RTE"] < 1e-9
+
+        seg = ev.eval_motion_seg(pred_m, pred_m)
+        assert seg["acc"] == 1.0
+
+        # RNE ratio field is sane on real radar geometry
+        res_r = np.sqrt(np.sum(ev.cartesian_res(pc1, ev.RADAR_RES), -1))
+        res_l = np.sqrt(np.sum(ev.cartesian_res(pc1, ev.LIDAR_RES), -1))
+        ratio = res_r / res_l
+        assert np.isfinite(ratio).all() and (ratio > 1).all()
