@@ -1,0 +1,110 @@
+"""Host-side batch loader with background prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=8)``
+(main.py:203-208): a thread pool decodes ujson samples while the previous
+batch is on device, and batches are handed to JAX ready-stacked.  Device
+placement/sharding is done by the caller (train loop) so the loader stays
+framework-agnostic numpy.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from cmflow_tpu.data.schema import Sample, bucket_size, collate, pad_to
+
+
+class BatchLoader:
+    """Iterate dict-batches over a dataset with optional shuffling,
+    drop-last, static-bucket padding, and background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        pad_bucket: Optional[int] = None,
+        pad_multiple: int = 128,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        seed: int = 1234,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_bucket = pad_bucket
+        self.pad_multiple = pad_multiple
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, indices: List[int]) -> Sample:
+        samples = [self.dataset[i] for i in indices]
+        if self.pad_bucket is not None:
+            # shared static bucket across the batch: the max real count
+            # rounded up, so XLA sees few distinct shapes
+            n_max = max(
+                max(s["pc1"].shape[-2], s["pc2"].shape[-2]) for s in samples
+            )
+            n = max(self.pad_bucket,
+                    bucket_size(n_max, self.pad_multiple, self.pad_bucket))
+            samples = [pad_to(s, n) for s in samples]
+        return collate(samples)
+
+    def __iter__(self) -> Iterator[Sample]:
+        idx = self._indices()
+        batches = [
+            idx[i: i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._make_batch(list(b))
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [
+                    pool.submit(self._make_batch, list(b)) for b in batches
+                ]
+                for f in futures:
+                    if stop.is_set():
+                        return
+                    q.put(f.result())
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,145 @@
+"""Data-layer tests: synthetic generator physics, reader parity with the
+reference schema, clip batching, loader padding."""
+
+import numpy as np
+import pytest
+
+from cmflow_tpu.data import (
+    BatchLoader,
+    VodClipDataset,
+    VodDataset,
+    pad_to,
+)
+from cmflow_tpu.data.synthetic import make_scene, write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    write_synthetic_dataset(
+        str(root),
+        partitions={"train": 8, "val": 4, "test": 4},
+        clips_per_partition=2,
+        seed=0,
+    )
+    return str(root)
+
+
+class TestSyntheticPhysics:
+    def test_static_points_follow_ego(self):
+        rng = np.random.default_rng(0)
+        scene = make_scene(rng, n1=128, n2=128, moving_fraction=0.25)
+        pc1 = np.array(scene["pc1"])[:, :3]
+        labels = np.array(scene["gt_labels"])
+        mask = np.array(scene["gt_mask"])
+        trans = np.linalg.inv(np.array(scene["trans"]))  # loader convention
+        rigid = pc1 @ trans[:3, :3].T + trans[:3, 3] - pc1
+        static = mask == 1
+        np.testing.assert_allclose(labels[static], rigid[static], atol=1e-6)
+        # moving points deviate from rigid flow
+        assert (np.linalg.norm(labels[~static] - rigid[~static], axis=1)
+                > 1e-3).any()
+
+    def test_doppler_consistency(self):
+        rng = np.random.default_rng(1)
+        scene = make_scene(rng, n1=64, n2=64, noise=0.0)
+        pc1 = np.array(scene["pc1"])
+        pts, v_r = pc1[:, :3], pc1[:, 4]
+        labels = np.array(scene["gt_labels"])
+        unit = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        want = np.sum(labels * unit, 1) / 0.1
+        np.testing.assert_allclose(v_r, want, atol=1e-6)
+
+    def test_optical_flow_consistency(self):
+        rng = np.random.default_rng(2)
+        scene = make_scene(rng, n1=64, n2=64)
+        # end pixel = radar pixel + opt flow must equal projection of warped pt
+        from cmflow_tpu.data.vod import (
+            VOD_CAMERA_PROJECTION, VOD_T_CAMERA_RADAR)
+        pc1 = np.array(scene["pc1"])[:, :3]
+        labels = np.array(scene["gt_labels"])
+        u = np.array(scene["opt_info"]["radar_u"])
+        v = np.array(scene["opt_info"]["radar_v"])
+        opt = np.array(scene["opt_info"]["opt_flow"])
+        warped = pc1 + labels
+        h = np.concatenate([warped, np.ones((64, 1))], 1)
+        uvz = (h @ VOD_T_CAMERA_RADAR.T) @ VOD_CAMERA_PROJECTION.T
+        uv = uvz[:, :2] / uvz[:, 2:3]
+        np.testing.assert_allclose(np.stack([u, v], 1) + opt, uv, atol=1e-4)
+
+
+class TestVodReader:
+    def test_train_fixed_size(self, synth_root):
+        ds = VodDataset(synth_root, "train", num_points=256, eval_mode=False,
+                        log=lambda *a: None)
+        assert len(ds) == 8
+        s = ds[0]
+        assert s["pc1"].shape == (256, 3)
+        assert s["ft1"].shape == (256, 3)
+        assert s["opt_flow"].shape == (256, 2)
+        assert s["trans"].shape == (4, 4)
+
+    def test_eval_full_clouds_and_clips_info(self, synth_root):
+        ds = VodDataset(synth_root, "test", eval_mode=True,
+                        log=lambda *a: None)
+        assert len(ds) == 4
+        assert len(ds.clips_info) == 2
+        assert ds.clips_info[0]["index"][0] == 0
+        s = ds[0]
+        assert s["pc1"].shape[0] >= 200  # unsampled
+        # eval uses gt labels: no optical flow info
+        assert (s["opt_flow"] == 0).all()
+
+    def test_features_are_vr_rcs_rcs(self, synth_root):
+        ds = VodDataset(synth_root, "test", eval_mode=True,
+                        log=lambda *a: None)
+        s = ds[0]
+        np.testing.assert_array_equal(s["ft1"][:, 1], s["ft1"][:, 2])
+
+    def test_clip_dataset_train_stacks(self, synth_root):
+        ds = VodClipDataset(synth_root, "train", num_points=128,
+                            eval_mode=False, mini_clip_len=2,
+                            log=lambda *a: None)
+        # 2 clips x 4 samples // 2 = 4 mini clips
+        assert len(ds) == 4
+        s = ds[0]
+        assert s["pc1"].shape == (2, 128, 3)
+        assert s["trans"].shape == (2, 4, 4)
+
+    def test_clip_dataset_eval_frames(self, synth_root):
+        ds = VodClipDataset(synth_root, "test", eval_mode=True,
+                            log=lambda *a: None)
+        assert len(ds) == 4
+        assert len(ds.clips_info) == 2
+
+
+class TestLoader:
+    def test_batching_and_padding(self, synth_root):
+        ds = VodDataset(synth_root, "test", eval_mode=True,
+                        log=lambda *a: None)
+        loader = BatchLoader(ds, batch_size=2, pad_bucket=256,
+                             num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["pc1"].shape[0] == 2
+        assert b["pc1"].shape[1] % 128 == 0
+        assert b["valid1"].dtype == bool
+        # valid mask covers exactly the real points
+        n_real = int(b["valid1"][0].sum())
+        assert (b["pc1"][0, n_real:] == 0).all()
+
+    def test_train_loader_shapes(self, synth_root):
+        ds = VodDataset(synth_root, "train", num_points=256, eval_mode=False,
+                        log=lambda *a: None)
+        loader = BatchLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                             num_workers=0)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["pc1"].shape == (4, 256, 3)
+
+    def test_pad_to_rejects_overflow(self, synth_root):
+        ds = VodDataset(synth_root, "test", eval_mode=True,
+                        log=lambda *a: None)
+        with pytest.raises(ValueError):
+            pad_to(ds[0], 8)
