@@ -1,0 +1,285 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline metric: CMFlow evaluation throughput (frame pairs / second / chip)
+on TPU, versus the same network compute executed by torch on all host CPU
+cores (the reference is CUDA-only and cannot run here; the torch mirror
+below performs the identical op sequence — ball-query/knn over dense
+distance matrices, grouped MLPs, cost volume, heads, weighted Kabsch — so
+the baseline measures the reference's workload, not a strawman).
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Secondary numbers go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+N_POINTS = int(os.environ.get("BENCH_POINTS", "256"))
+TPU_ITERS = int(os.environ.get("BENCH_TPU_ITERS", "50"))
+CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", "6"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_clouds(b, n, seed=0):
+    rng = np.random.RandomState(seed)
+    pc1 = (rng.rand(b, n, 3) * np.array([38, 30, 4]) +
+           np.array([2, -15, -1])).astype(np.float32)
+    pc2 = pc1 + rng.randn(b, n, 3).astype(np.float32) * 0.3
+    ft1 = rng.randn(b, n, 3).astype(np.float32)
+    ft2 = rng.randn(b, n, 3).astype(np.float32)
+    return pc1, pc2, ft1, ft2
+
+
+# ---------------------------------------------------------------------------
+# TPU (JAX) side
+
+
+def bench_tpu_eval(b, n):
+    import jax
+    import jax.numpy as jnp
+
+    from cmflow_tpu.models import build_model
+
+    model = build_model("cmflow")
+    pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           pc1, pc2, ft1, ft2, None, False)
+
+    @jax.jit
+    def fwd(v, a, c, d, e):
+        return model.apply(v, a, c, d, e, None, False)
+
+    out = fwd(variables, pc1, pc2, ft1, ft2)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(TPU_ITERS):
+        out = fwd(variables, pc1, pc2, ft1, ft2)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = b * TPU_ITERS / dt
+    log(f"tpu eval: B={b} N={n} {dt / TPU_ITERS * 1e3:.2f} ms/it "
+        f"-> {fps:.1f} frames/s")
+    return fps
+
+
+def bench_tpu_train(b, n):
+    import jax
+    import jax.numpy as jnp
+
+    from cmflow_tpu.data.vod import (VOD_CAMERA_PROJECTION,
+                                     VOD_T_CAMERA_RADAR)
+    from cmflow_tpu.models import build_model
+    from cmflow_tpu.train import steps as steplib
+    from cmflow_tpu.train.state import create_train_state, make_optimizer
+
+    model = build_model("cmflow")
+    pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
+    rng = np.random.RandomState(1)
+    batch = {
+        "pc1": pc1, "pc2": pc2, "ft1": ft1, "ft2": ft2,
+        "trans": jnp.asarray(np.tile(np.eye(4, dtype=np.float32),
+                                     (b, 1, 1))),
+        "labels": jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.1),
+        "mask": jnp.asarray((rng.rand(b, n) > 0.3).astype(np.float32)),
+        "interval": jnp.full((b,), 0.1, jnp.float32),
+        "radar_u": jnp.asarray(rng.rand(b, n).astype(np.float32) * 1900),
+        "radar_v": jnp.asarray(rng.rand(b, n).astype(np.float32) * 1200),
+        "opt_flow": jnp.asarray(rng.randn(b, n, 2).astype(np.float32)),
+    }
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (pc1, pc2, ft1, ft2, batch["mask"], True), make_optimizer())
+    step = steplib.make_train_step("cmflow", model, VOD_CAMERA_PROJECTION,
+                                   VOD_T_CAMERA_RADAR)
+    state, items = step(state, batch)
+    jax.block_until_ready(items["Loss"])
+    iters = max(TPU_ITERS // 2, 5)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, items = step(state, batch)
+    jax.block_until_ready(items["Loss"])
+    dt = time.perf_counter() - t0
+    fps = b * iters / dt
+    log(f"tpu train: B={b} N={n} {dt / iters * 1e3:.2f} ms/it "
+        f"-> {fps:.1f} frames/s")
+    return fps
+
+
+# ---------------------------------------------------------------------------
+# torch CPU baseline: identical op sequence, all host cores
+
+
+def bench_torch_cpu(b, n):
+    import torch
+    import torch.nn as tnn
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    def sqdist(a, c):
+        return torch.cdist(a, c) ** 2
+
+    def ball_query(r, k, pts, q):
+        d = sqdist(q, pts)
+        npts = pts.shape[1]
+        j = torch.arange(npts).expand_as(d)
+        key = torch.where(d < r * r, j, torch.full_like(j, npts))
+        idx, _ = torch.sort(key, dim=-1)
+        idx = idx[..., :k]
+        first = idx[..., :1].clamp(max=npts - 1)
+        pad = torch.where(first < npts, first, torch.zeros_like(first))
+        return torch.where(idx < npts, idx, pad)
+
+    def group(points, idx):
+        # points [B,N,C], idx [B,S,K] -> [B,S,K,C]
+        bsz, s, k = idx.shape
+        flat = idx.reshape(bsz, s * k, 1).expand(-1, -1, points.shape[-1])
+        return torch.gather(points, 1, flat).reshape(bsz, s, k, -1)
+
+    class MLP(tnn.Module):
+        def __init__(self, cin, widths, bias=False, leaky=0.0):
+            super().__init__()
+            layers = []
+            for w in widths:
+                layers.append(tnn.Linear(cin, w, bias=bias))
+                # eval-mode BN == elementwise affine; keep the same op count
+                layers.append(tnn.LayerNorm(w, elementwise_affine=True))
+                layers.append(tnn.LeakyReLU(leaky) if leaky else tnn.ReLU())
+                cin = w
+            self.net = tnn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.net(x)
+
+    radii = [2.0, 4.0, 8.0, 16.0]
+    ks = [4, 8, 16, 32]
+
+    class Encoder(tnn.Module):
+        def __init__(self, cin, mlp, mlp2):
+            super().__init__()
+            self.mlps = tnn.ModuleList([MLP(cin + 3, mlp) for _ in radii])
+            self.mlp2s = tnn.ModuleList([MLP(mlp[-1], mlp2) for _ in radii])
+
+        def forward(self, xyz, feats):
+            outs = []
+            for r, k, m1, m2 in zip(radii, ks, self.mlps, self.mlp2s):
+                idx = ball_query(r, k, xyz, xyz)
+                g = group(torch.cat([xyz, feats], -1), idx)
+                rel = g[..., :3] - xyz.unsqueeze(2)
+                h = m1(torch.cat([rel, g[..., 3:]], -1)).amax(2)
+                outs.append(m2(h))
+            return torch.cat(outs, -1)
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc = Encoder(3, [32, 32, 64], [64, 64, 64])
+            fc = 512
+            self.cor_mlp = MLP(fc * 2 + 3, [fc, fc, fc], bias=True, leaky=0.1)
+            self.w1 = MLP(3, [8, 8, fc], bias=True)
+            self.w2 = MLP(3, [8, 8, fc], bias=True)
+            self.enc2 = Encoder(fc * 2 + 3, [fc, fc // 2, fc // 8],
+                                [fc // 8] * 3)
+            self.fp = tnn.Sequential(MLP(512, [256, 128, 64]),
+                                     tnn.Linear(64, 3, bias=False))
+            self.mp = tnn.Sequential(MLP(512, [256, 128, 64]),
+                                     tnn.Linear(64, 1, bias=False),
+                                     tnn.Sigmoid())
+
+        def forward(self, pc1, pc2, ft1, ft2):
+            f1 = self.enc(pc1, ft1)
+            f2 = self.enc(pc2, ft2)
+            f1 = torch.cat([f1, f1.amax(1, keepdim=True).expand_as(f1)], -1)
+            f2 = torch.cat([f2, f2.amax(1, keepdim=True).expand_as(f2)], -1)
+            # cost volume
+            k = 8
+            d12 = sqdist(pc1, pc2)
+            idx = d12.topk(k, largest=False)[1]
+            nb = group(pc2, idx)
+            dirs = nb - pc1.unsqueeze(2)
+            g2 = group(f2, idx)
+            g1 = f1.unsqueeze(2).expand(-1, -1, k, -1)
+            cost = (self.w1(dirs) *
+                    self.cor_mlp(torch.cat([g1, g2, dirs], -1))).sum(2)
+            idx1 = sqdist(pc1, pc1).topk(k, largest=False)[1]
+            nb1 = group(pc1, idx1)
+            dirs1 = nb1 - pc1.unsqueeze(2)
+            cost = (self.w2(dirs1) * group(cost, idx1)).sum(2)
+
+            emb = torch.cat([ft1, f1, cost], -1)
+            prop = self.enc2(pc1, emb)
+            final = torch.cat(
+                [prop, prop.amax(1, keepdim=True).expand_as(prop)], -1)
+            flow = self.fp(final)
+            cls = self.mp(final)[..., 0]
+            # weighted Kabsch
+            w = (cls + 1e-4)
+            w = w / w.sum(1, keepdim=True)
+            warp = pc1 + flow
+            ca = (pc1 * w.unsqueeze(2)).sum(1)
+            cb = (warp * w.unsqueeze(2)).sum(1)
+            am, bm = pc1 - ca.unsqueeze(1), warp - cb.unsqueeze(1)
+            h = torch.einsum("bnc,bn,bnd->bcd", am, w, bm)
+            u, _, vt = torch.linalg.svd(h)
+            rot = vt.transpose(1, 2) @ u.transpose(1, 2)
+            t = cb - torch.einsum("bij,bj->bi", rot, ca)
+            rigid = torch.einsum("bij,bnj->bni", rot, pc1) + t.unsqueeze(1) - pc1
+            mask = cls > 0.5
+            sf = torch.where(mask.unsqueeze(2), rigid, flow)
+            return sf, cls, rot, mask
+
+    model = Model().eval()
+    pc1, pc2, ft1, ft2 = map(torch.from_numpy, make_clouds(b, n))
+    with torch.no_grad():
+        model(pc1, pc2, ft1, ft2)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(CPU_ITERS):
+            model(pc1, pc2, ft1, ft2)
+        dt = time.perf_counter() - t0
+    fps = b * CPU_ITERS / dt
+    log(f"torch cpu eval: B={b} N={n} {dt / CPU_ITERS * 1e3:.2f} ms/it "
+        f"-> {fps:.1f} frames/s ({torch.get_num_threads()} threads)")
+    return fps
+
+
+def main():
+    tpu_fps = bench_tpu_eval(BATCH, N_POINTS)
+    try:
+        train_fps = bench_tpu_train(BATCH, N_POINTS)
+    except Exception as e:  # train bench is secondary — never sink the run
+        log(f"train bench failed: {e}")
+        train_fps = None
+    try:
+        cpu_fps = bench_torch_cpu(BATCH, N_POINTS)
+    except Exception as e:
+        log(f"cpu baseline failed: {e}")
+        cpu_fps = None
+
+    vs = (tpu_fps / cpu_fps) if cpu_fps else None
+    record = {
+        "metric": "cmflow_eval_frames_per_sec_per_chip",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "extra": {
+            "train_frames_per_sec": round(train_fps, 2) if train_fps else None,
+            "torch_cpu_frames_per_sec": round(cpu_fps, 2) if cpu_fps else None,
+            "batch": BATCH,
+            "n_points": N_POINTS,
+        },
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

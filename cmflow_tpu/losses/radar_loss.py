@@ -116,6 +116,26 @@ def ego_motion_loss(pc1: Array, pre_trans: Array, gt_trans: Array) -> Array:
     return jnp.mean(jnp.linalg.norm(p_pre - p_gt, axis=-1))
 
 
+def _global_ratio(num: Array, den: Array, axis_name: Optional[str]) -> Array:
+    """Count-normalized loss term with exact global-batch semantics under
+    data parallelism.
+
+    The reference computes these terms on the gathered full batch
+    (nn.DataParallel gathers outputs before the loss).  Under shard_map each
+    shard sees only its slice, so ``num/den`` locally then ``pmean`` is NOT
+    the global ratio.  Since the denominators are label counts (zero
+    gradient), the correctly-scaled per-shard term is
+    ``G * num_local / max(psum(den), 1)``:
+      * its pmean equals the global ratio (value parity), and
+      * pmean of its gradient equals the global-batch gradient.
+    """
+    if axis_name is None:
+        return num / jnp.maximum(den, 1.0)
+    den_g = lax.psum(den, axis_name)
+    g = lax.axis_size(axis_name)
+    return g * num / jnp.maximum(den_g, 1.0)
+
+
 def binary_cross_entropy(p: Array, y: Array) -> Array:
     """Elementwise BCE on probabilities, torch.nn.BCELoss-compatible
     (log clamped at -100)."""
@@ -124,7 +144,9 @@ def binary_cross_entropy(p: Array, y: Array) -> Array:
     return -(y * logp + (1.0 - y) * log1p)
 
 
-def motion_seg_loss(mseg_pre: Array, mseg_gt: Array) -> Array:
+def motion_seg_loss(
+    mseg_pre: Array, mseg_gt: Array, axis_name: Optional[str] = None
+) -> Array:
     """Class-balanced BCE (radar_loss.py:184-205): mean over static points
     plus mean over moving points, halved."""
     bce = binary_cross_entropy(mseg_pre, mseg_gt)
@@ -132,8 +154,8 @@ def motion_seg_loss(mseg_pre: Array, mseg_gt: Array) -> Array:
     is1 = (mseg_gt == 1).astype(bce.dtype)
     # the reference's fancy-indexed means assume both classes are present;
     # guard the denominators so an absent class contributes 0, not NaN
-    mean0 = jnp.sum(bce * is0) / jnp.maximum(jnp.sum(is0), 1.0)
-    mean1 = jnp.sum(bce * is1) / jnp.maximum(jnp.sum(is1), 1.0)
+    mean0 = _global_ratio(jnp.sum(bce * is0), jnp.sum(is0), axis_name)
+    mean1 = _global_ratio(jnp.sum(bce * is1), jnp.sum(is1), axis_name)
     return 0.5 * (mean0 + mean1)
 
 
@@ -146,6 +168,7 @@ def optical_flow_loss(
     projection: Array,
     t_camera_radar: Array,
     lower_bound: float = 0.25,
+    axis_name: Optional[str] = None,
 ) -> Array:
     """Point-to-camera-ray reprojection loss on moving points
     (radar_loss.py:207-242)."""
@@ -155,15 +178,19 @@ def optical_flow_loss(
     )
     opt_div = jax.nn.relu(opt_div - lower_bound)
     moving = 1.0 - lax.stop_gradient(mseg_gt.astype(opt_div.dtype))
-    return jnp.sum(moving * opt_div) / jnp.maximum(jnp.sum(moving), 1.0)
+    return _global_ratio(jnp.sum(moving * opt_div), jnp.sum(moving),
+                         axis_name)
 
 
-def dynamic_flow_loss(pred_f: Array, gt_f: Array, dyn_mask: Array) -> Array:
+def dynamic_flow_loss(
+    pred_f: Array, gt_f: Array, dyn_mask: Array,
+    axis_name: Optional[str] = None,
+) -> Array:
     """Supervised flow loss on (pseudo-labelled) moving points
     (radar_loss.py:244-258).  ``dyn_mask``: 1 = static, 0 = moving."""
     moving = 1.0 - dyn_mask
     err = jnp.linalg.norm(gt_f - pred_f, axis=-1)
-    return jnp.sum(moving * err) / jnp.maximum(jnp.sum(moving), 1.0)
+    return _global_ratio(jnp.sum(moving * err), jnp.sum(moving), axis_name)
 
 
 def radar_flow_loss(
@@ -189,18 +216,23 @@ def radar_flow_loss(
     w_ms: float = 1.0,
     w_opt: float = 0.1,
     w_dyn: float = 1.0,
+    axis_name: Optional[str] = None,
 ) -> Tuple[Array, Dict[str, Array]]:
-    """Composite loss dispatcher (radar_loss.py:260-292)."""
+    """Composite loss dispatcher (radar_loss.py:260-292).
+
+    ``axis_name`` makes the count-normalized terms exact on the global
+    batch under data parallelism (see :func:`_global_ratio`).
+    """
     total, items = self_supervised_loss(pc1, pc2, pred_f, vel1)
     total = w_self * total
 
     if model in ("cmflow", "cmflow_t"):
         em = ego_motion_loss(pc1, pre_trans, gt_trans)
-        ms = motion_seg_loss(mseg_pre, mseg_gt)
-        dyn = dynamic_flow_loss(pred_f, gt_f, dyn_mask)
+        ms = motion_seg_loss(mseg_pre, mseg_gt, axis_name)
+        dyn = dynamic_flow_loss(pred_f, gt_f, dyn_mask, axis_name)
         opt_l = optical_flow_loss(
             opt, radar_u, radar_v, pc1 + pred_f, mseg_gt,
-            projection, t_camera_radar,
+            projection, t_camera_radar, axis_name=axis_name,
         )
         total = total + w_em * em + w_ms * ms + w_opt * opt_l + w_dyn * dyn
         items.update(

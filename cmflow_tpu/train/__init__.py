@@ -1,3 +1,3 @@
-from cmflow_tpu.train import labels
+from cmflow_tpu.train import labels, state, steps
 
-__all__ = ["labels"]
+__all__ = ["labels", "state", "steps"]

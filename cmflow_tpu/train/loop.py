@@ -1,0 +1,369 @@
+"""Experiment driver: epoch loops, evaluation, checkpoint/resume.
+
+Equivalent of main.py:51-170 + main_util.py:93-206 + clip_util.py, with the
+upgrades the reference lacks (SURVEY.md §5): full train-state
+checkpointing (params + optimizer + step) for true resume via orbax,
+metrics JSONL, and static-shape padded evaluation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmflow_tpu import evaluation as ev
+from cmflow_tpu.data import BatchLoader, DATASET_REGISTRY
+from cmflow_tpu.losses.radar_loss import LOSS_ITEMS
+from cmflow_tpu.models import build_model
+from cmflow_tpu.parallel import mesh as meshlib
+from cmflow_tpu.train import steps as steplib
+from cmflow_tpu.train.state import TrainState, create_train_state, make_optimizer
+from cmflow_tpu.utils.config import Config
+from cmflow_tpu.utils.logging import IOStream, MetricsWriter, init_experiment_dir
+
+
+# --------------------------------------------------------------------------
+# checkpointing (orbax)
+
+def _state_payload(state: TrainState):
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Full-train-state checkpoint (params + BN stats + optimizer + step).
+
+    optax states are NamedTuples (incl. zero-field ``EmptyState``) that
+    orbax's tree metadata doesn't round-trip; flax ``to_state_dict``
+    canonicalizes them to plain nested dicts first.
+    """
+    import orbax.checkpoint as ocp
+    from flax import serialization
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = serialization.to_state_dict(_state_payload(state))
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    from flax import serialization
+
+    ckptr = ocp.StandardCheckpointer()
+    template = serialization.to_state_dict(_state_payload(state))
+    restored_sd = ckptr.restore(os.path.abspath(path), template)
+    restored = serialization.from_state_dict(_state_payload(state),
+                                             restored_sd)
+    return state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+
+
+# --------------------------------------------------------------------------
+# setup helpers
+
+def build_datasets(cfg: Config, textio) -> Tuple:
+    ds_cls = DATASET_REGISTRY[cfg.dataset]
+    kwargs = dict(num_points=cfg.num_points, log=textio.cprint,
+                  seed=cfg.seed)
+    if cfg.dataset == "vodClipDataset":
+        kwargs.update(mini_clip_len=cfg.mini_clip_len,
+                      update_len=cfg.update_len)
+    if cfg.eval:
+        test = ds_cls(cfg.dataset_path, cfg.eval_split, eval_mode=True,
+                      **kwargs)
+        return None, None, test
+    train = ds_cls(cfg.dataset_path, cfg.train_set, eval_mode=False, **kwargs)
+    val = ds_cls(cfg.dataset_path, "val", eval_mode=True, **kwargs)
+    return train, val, None
+
+
+def init_model_state(cfg: Config, model, mesh, batch_example) -> TrainState:
+    tx = make_optimizer(
+        lr=cfg.lr, weight_decay=cfg.weight_decay,
+        decay_epochs=cfg.decay_epochs, decay_rate=cfg.decay_rate,
+        steps_per_epoch=batch_example.pop("_steps_per_epoch", None),
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    b = batch_example["pc1"].shape[0]
+    if cfg.model == "raflow":
+        inputs = (batch_example["pc1"], batch_example["pc2"],
+                  batch_example["ft1"], batch_example["ft2"],
+                  batch_example["interval"], True)
+    elif cfg.model == "cmflow":
+        inputs = (batch_example["pc1"], batch_example["pc2"],
+                  batch_example["ft1"], batch_example["ft2"],
+                  batch_example["mask"], True)
+    else:
+        g0 = jnp.zeros((b, model.cfg.prop_width))
+        inputs = (batch_example["pc1"], batch_example["pc2"],
+                  batch_example["ft1"], batch_example["ft2"],
+                  batch_example["mask"], True, g0)
+    state = create_train_state(model, key, inputs, tx)
+    if mesh is not None:
+        state = meshlib.replicate(mesh, state)
+    return state
+
+
+def _first_frame(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Slice frame 0 of a clip batch [B, T, ...] -> [B, ...]."""
+    return {
+        k: (v[:, 0] if v.ndim > 1 else v) for k, v in batch.items()
+    }
+
+
+def _to_device(batch, mesh):
+    arrs = {k: jnp.asarray(v) for k, v in batch.items()}
+    if mesh is not None:
+        arrs = meshlib.shard_batch(mesh, arrs)
+    return arrs
+
+
+# --------------------------------------------------------------------------
+# evaluation
+
+def evaluate_frames(
+    cfg: Config, model, state, dataset, textio,
+    save_res_dir: Optional[str] = None,
+) -> Tuple[Dict, Dict, Dict]:
+    """Frame-pair evaluation (eval_one_epoch, main_util.py:93-206), with
+    static padded shapes and per-frame metric accumulation.
+
+    Also covers CMFlow_T frame-sequential test evaluation
+    (test_one_epoch_seq, clip_util.py:182-301): the GRU carry resets at
+    clip starts and every ``update_len`` frames.
+    """
+    temporal = cfg.model == "cmflow_t"
+    eval_step = steplib.make_eval_step(cfg.model, model)
+    loader = BatchLoader(
+        dataset, batch_size=1, shuffle=False, drop_last=False,
+        pad_bucket=cfg.num_points, pad_multiple=cfg.eval_pad_multiple,
+        num_workers=cfg.num_workers,
+    )
+
+    sf_metric = {k: 0.0 for k in
+                 ("rne", "50-50 rne", "mov_rne", "stat_rne", "sas", "ras",
+                  "epe", "accs", "accr")}
+    seg_metric = {"acc": 0.0, "miou": 0.0, "sen": 0.0}
+    pose_metric = {"RTE": 0.0, "RAE": 0.0}
+    num_pcs = 0
+    infer_time = 0.0
+
+    clip_starts = set()
+    clip_of_frame = {}
+    for ci in dataset.clips_info or []:
+        clip_starts.add(ci["index"][0])
+        for i in range(ci["index"][0], ci["index"][1]):
+            clip_of_frame[i] = ci["clip_name"]
+
+    gfeat = None
+    gt_trans_all, pre_trans_all = [], []
+
+    for i, batch in enumerate(loader):
+        dev = _to_device(batch, None)
+        t0 = time.perf_counter()
+        if temporal:
+            reset = (i in clip_starts) or (i % cfg.update_len == 0)
+            if reset or gfeat is None or gfeat.shape[1] != dev["pc1"].shape[0]:
+                gfeat = jnp.zeros((dev["pc1"].shape[0], model.cfg.prop_width))
+            pred_f, pred_cls, pred_t, pred_m, gfeat = eval_step(
+                state, dev, gfeat)
+        else:
+            pred_f, pred_cls, pred_t, pred_m = eval_step(state, dev)
+        jax.block_until_ready(pred_f)
+        infer_time += time.perf_counter() - t0
+
+        pred_f = np.asarray(pred_f)
+        pred_m = np.asarray(pred_m)
+        pred_t = np.asarray(pred_t)
+
+        for bi in range(pred_f.shape[0]):
+            nv = int(batch["valid1"][bi].sum())
+            pc1 = batch["pc1"][bi, :nv]
+            gt = batch["labels"][bi, :nv]
+            mask = batch["mask"][bi, :nv]
+            f = pred_f[bi, :nv]
+            m = pred_m[bi, :nv]
+
+            res = ev.eval_scene_flow(pc1[None], f[None], gt[None], mask[None])
+            for k in sf_metric:
+                sf_metric[k] += res[k]
+
+            seg = ev.eval_motion_seg(m.astype(np.float32), mask)
+            for k in seg_metric:
+                seg_metric[k] += seg[k]
+
+            pose = ev.eval_trans_rpe(batch["trans"][bi][None],
+                                     pred_t[bi][None])
+            for k in pose_metric:
+                pose_metric[k] += pose[k]
+
+            gt_trans_all.append(batch["trans"][bi])
+            pre_trans_all.append(pred_t[bi])
+
+            if save_res_dir is not None:
+                clip = clip_of_frame.get(num_pcs, "clip_0")
+                cdir = os.path.join(save_res_dir, clip)
+                os.makedirs(cdir, exist_ok=True)
+                # reference stores [3, N] layouts (main_util.py:149-156)
+                out = {
+                    "pc1": pc1.T.tolist(),
+                    "pc2": batch["pc2"][bi, :int(batch["valid2"][bi].sum())]
+                           .T.tolist(),
+                    "pred_f": f.T.tolist(),
+                    "pred_m": m.astype(float).tolist(),
+                    "pred_t": pred_t[bi].astype(float).tolist(),
+                }
+                with open(os.path.join(cdir, f"{num_pcs}.json"), "w") as fo:
+                    json.dump(out, fo)
+            num_pcs += 1
+
+    for d in (sf_metric, seg_metric, pose_metric):
+        for k in d:
+            d[k] /= max(num_pcs, 1)
+
+    textio.cprint(
+        "###The inference speed is %.3fms per frame###"
+        % (infer_time * 1000 / max(num_pcs, 1))
+    )
+    return sf_metric, seg_metric, pose_metric
+
+
+# --------------------------------------------------------------------------
+# training
+
+def train_experiment(cfg: Config, textio=None) -> Dict:
+    """Full training run (main.py:104-170).  Returns summary dict."""
+    exp_dir = init_experiment_dir(cfg.checkpoints_dir, cfg.exp_name, cfg)
+    if textio is None:
+        textio = IOStream(os.path.join(exp_dir, "run.log"))
+    metrics_out = MetricsWriter(os.path.join(exp_dir, "metrics.jsonl"))
+
+    mesh = None
+    if cfg.data_parallel and len(jax.devices()) > 1:
+        mesh = meshlib.make_mesh()
+        textio.cprint(f"data-parallel over {mesh.devices.size} devices")
+
+    axis = meshlib.DATA_AXIS if mesh is not None else None
+    model = build_model(cfg.model, cfg, axis_name=axis)
+
+    train_ds, val_ds, _ = build_datasets(cfg, textio)
+    temporal = cfg.dataset == "vodClipDataset"
+    loader = BatchLoader(
+        train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+        num_workers=cfg.num_workers, seed=cfg.seed,
+    )
+    steps_per_epoch = len(loader)
+
+    first = next(iter(BatchLoader(train_ds, cfg.batch_size, drop_last=True,
+                                  num_workers=0)))
+    example = {k: jnp.asarray(v) for k, v in first.items()}
+    if temporal:
+        example = {k: v[:, 0] if v.ndim > 1 else v for k, v in example.items()}
+    example["_steps_per_epoch"] = steps_per_epoch
+    state = init_model_state(cfg, model, mesh, example)
+
+    if cfg.load_checkpoint and cfg.model_path:
+        state = restore_checkpoint(cfg.model_path, state)
+        textio.cprint(f"restored checkpoint from {cfg.model_path}")
+
+    if temporal:
+        step_fn = steplib.make_train_step_seq(
+            model, train_ds.camera_projection_matrix,
+            train_ds.t_camera_radar, cfg.vr_thres, mesh=mesh)
+    else:
+        step_fn = steplib.make_train_step(
+            cfg.model, model, train_ds.camera_projection_matrix,
+            train_ds.t_camera_radar, cfg.vr_thres, mesh=mesh)
+
+    best_rne = np.inf
+    best_path = os.path.join(exp_dir, "models", "best")
+    item_keys = LOSS_ITEMS[cfg.model]
+
+    for epoch in range(cfg.epochs):
+        textio.cprint(f"==== epoch {epoch} ====")
+        t0 = time.perf_counter()
+        sums = {k: 0.0 for k in item_keys}
+        nb = 0
+        for batch in loader:
+            dev = _to_device(
+                {k: v for k, v in batch.items()
+                 if k not in ("valid1", "valid2")}, mesh)
+            state, items = step_fn(state, dev)
+            for k in item_keys:
+                sums[k] += float(items[k])
+            nb += 1
+        dt = time.perf_counter() - t0
+        means = {k: v / max(nb, 1) for k, v in sums.items()}
+        textio.cprint(
+            f"mean train loss: {means['Loss']:.6f} "
+            f"({nb} steps, {dt:.1f}s, "
+            f"{nb * cfg.batch_size * (cfg.mini_clip_len if temporal else 1) / dt:.1f} frames/s)"
+        )
+        metrics_out.write({"epoch": epoch, "phase": "train", **means})
+
+        sf, seg, pose = evaluate_frames(cfg, model, state, val_ds, textio)
+        textio.cprint(f"mean RNE score: {sf['rne']:.6f}")
+        metrics_out.write({"epoch": epoch, "phase": "val", **sf, **seg,
+                           **pose})
+
+        if sf["rne"] <= best_rne:
+            best_rne = sf["rne"]
+            save_checkpoint(best_path, state)
+            textio.cprint(f"best val score till now: {best_rne:.6f}")
+
+    save_checkpoint(os.path.join(exp_dir, "models", "last"), state)
+    textio.cprint(f"==== best RNE after {cfg.epochs} epochs: {best_rne} ====")
+    return {"best_rne": best_rne, "exp_dir": exp_dir}
+
+
+def eval_experiment(cfg: Config, textio=None) -> Dict:
+    """Evaluation run (main.py:51-69 / test_one_epoch_seq)."""
+    exp_dir = init_experiment_dir(cfg.checkpoints_dir, cfg.exp_name, cfg)
+    if textio is None:
+        textio = IOStream(os.path.join(exp_dir, "run.log"))
+
+    model = build_model(cfg.model, cfg)
+    _, _, test_ds = build_datasets(cfg, textio)
+
+    loader = BatchLoader(test_ds, 1, num_workers=0, pad_bucket=cfg.num_points,
+                         pad_multiple=cfg.eval_pad_multiple)
+    first = next(iter(loader))
+    example = {k: jnp.asarray(v) for k, v in first.items()
+               if k not in ("valid1", "valid2")}
+    example["_steps_per_epoch"] = None
+    state = init_model_state(cfg.replace(model=cfg.model), model, None,
+                             example)
+    ckpt = cfg.model_path or os.path.join(exp_dir, "models", "best")
+    if os.path.exists(ckpt):
+        state = restore_checkpoint(ckpt, state)
+        textio.cprint(f"restored checkpoint from {ckpt}")
+    else:
+        textio.cprint("WARNING: no checkpoint found, evaluating random init")
+
+    save_dir = os.path.join(exp_dir, "results") if cfg.save_res else None
+    sf, seg, pose = evaluate_frames(cfg, model, state, test_ds, textio,
+                                    save_res_dir=save_dir)
+    for d in (sf, seg, pose):
+        for k, v in d.items():
+            textio.cprint(f"###The mean {k}: {v}###")
+    dev = jax.devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if stats:
+        peak = stats.get("peak_bytes_in_use", 0) / 1e6
+        textio.cprint(f"Max memory allocation: {peak:.1f}MB")
+    return {"sf": sf, "seg": seg, "pose": pose}
