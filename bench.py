@@ -23,7 +23,10 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 N_POINTS = int(os.environ.get("BENCH_POINTS", "256"))
 TPU_ITERS = int(os.environ.get("BENCH_TPU_ITERS", "50"))
-CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", "6"))
+# the baseline host has a single CPU core: measure the torch path at the
+# reference's own eval protocol (batch 1, main.py:203) with few iters
+CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", "1"))
+CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", "4"))
 
 
 def log(*a):
@@ -260,7 +263,7 @@ def main():
         log(f"train bench failed: {e}")
         train_fps = None
     try:
-        cpu_fps = bench_torch_cpu(BATCH, N_POINTS)
+        cpu_fps = bench_torch_cpu(CPU_BATCH, N_POINTS)
     except Exception as e:
         log(f"cpu baseline failed: {e}")
         cpu_fps = None

@@ -58,3 +58,53 @@ def merge_mseg_labels(mseg_rrv: Array, dyn_mask: Array) -> Array:
     """Combine RRV labels with the FG-derived mask (main_util.py:66-67):
     where dyn_mask says moving (0), force moving; else keep the RRV label."""
     return jnp.where(dyn_mask == 1, mseg_rrv, dyn_mask)
+
+
+# --- experimental label variants kept for parity with the reference's
+# --- inventory (main_util.py:227-278; unused by its training recipe, and
+# --- their sigma_opt/sigma_rrv/opt_thres args are not in configs.yaml)
+
+
+def probabilistic_label_rrv(
+    pc1: Array, trans: Array, vel1: Array, interval: Array, sigma_rrv: float
+) -> Array:
+    """Soft static probability from the RRV residual
+    (main_util.py:242-251)."""
+    gt_sf_rg = se3.rigid_to_flow(pc1, trans)
+    proj = jnp.sum(gt_sf_rg * pc1, axis=-1) / jnp.linalg.norm(pc1, axis=-1)
+    residual = vel1 * interval[:, None] - proj
+    return jnp.exp(-(residual**2) / (2 * sigma_rrv**2))
+
+
+def probabilistic_label_opt(
+    pc1: Array, trans: Array, radar_u: Array, radar_v: Array,
+    opt_flow: Array, projection: Array, t_camera_radar: Array,
+    sigma_opt: float,
+) -> Array:
+    """Soft static probability from optical-flow reprojection residual
+    (main_util.py:227-239)."""
+    from cmflow_tpu.geometry import camera as cam
+
+    gt_wp_rg = se3.rigid_to_flow(pc1, trans) + pc1
+    end_pixels = jnp.stack([radar_u, radar_v], axis=-1) + opt_flow
+    rg_proj = cam.project_radar_to_image(gt_wp_rg, projection,
+                                         t_camera_radar)
+    residual = jnp.linalg.norm(rg_proj - end_pixels, axis=-1)
+    return jnp.exp(-(residual**2) / (2 * sigma_opt**2))
+
+
+def mseg_label_opt(
+    pc1: Array, trans: Array, radar_u: Array, radar_v: Array,
+    opt_flow: Array, projection: Array, t_camera_radar: Array,
+    opt_thres: float,
+) -> Array:
+    """Hard static/moving labels from optical-flow reprojection residual
+    (main_util.py:267-278)."""
+    from cmflow_tpu.geometry import camera as cam
+
+    gt_wp_rg = se3.rigid_to_flow(pc1, trans) + pc1
+    end_pixels = jnp.stack([radar_u, radar_v], axis=-1) + opt_flow
+    rg_proj = cam.project_radar_to_image(gt_wp_rg, projection,
+                                         t_camera_radar)
+    residual = jnp.linalg.norm(rg_proj - end_pixels, axis=-1)
+    return (residual < opt_thres).astype(jnp.float32)

@@ -326,6 +326,12 @@ def train_experiment(cfg: Config, textio=None) -> Dict:
             save_checkpoint(best_path, state)
             textio.cprint(f"best val score till now: {best_rne:.6f}")
 
+        from cmflow_tpu.utils.plots import plot_loss_curves, plot_val_score
+
+        plot_loss_curves(os.path.join(exp_dir, "metrics.jsonl"),
+                         os.path.join(exp_dir, "loss_train"))
+        plot_val_score(os.path.join(exp_dir, "metrics.jsonl"), exp_dir)
+
     save_checkpoint(os.path.join(exp_dir, "models", "last"), state)
     textio.cprint(f"==== best RNE after {cfg.epochs} epochs: {best_rne} ====")
     return {"best_rne": best_rne, "exp_dir": exp_dir}

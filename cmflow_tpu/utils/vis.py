@@ -62,6 +62,17 @@ def flow_xy_to_colors(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return colors
 
 
+def flow_to_image(flow: np.ndarray) -> np.ndarray:
+    """Dense optical-flow field -> RGB uint8 image (RAFT
+    core/utils/flow_viz.py equivalent; used by the preprocessing opt_vis
+    dumps).  ``flow``: [H, W, 2]."""
+    u, v = flow[..., 0], flow[..., 1]
+    rad = np.sqrt(u**2 + v**2)
+    scale = np.max(rad) + 1e-5
+    colors = flow_xy_to_colors((u / scale).flatten(), (v / scale).flatten())
+    return colors.reshape(*flow.shape[:2], 3)
+
+
 def _bev_canvas(ax):
     """Range rings + bearing spokes on a dark BEV background."""
     for r in (10, 20, 30, 40, 50):
