@@ -86,4 +86,9 @@ def point_ray_distance(warped_pcs: Array, pixels: Array, projection: Array,
     warped_h = jnp.concatenate([warped_pcs, ones], axis=-1)
     warped_cam = jnp.einsum("ij,bnj->bni", t_camera_radar, warped_h)[..., :3]
 
-    return jnp.linalg.norm(jnp.cross(unit, warped_cam), axis=-1)
+    # zero-subgradient norm: a warped point exactly on its ray has cross
+    # product 0, where jnp.linalg.norm's gradient is NaN (torch: 0)
+    cr = jnp.cross(unit, warped_cam)
+    sq = jnp.sum(cr * cr, axis=-1)
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)

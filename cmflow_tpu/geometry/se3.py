@@ -30,6 +30,51 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+@jax.custom_jvp
+def _svd3(h: Array):
+    """Batched 3x3 SVD with a *regularized* differentiation rule.
+
+    ``jnp.linalg.svd``'s gradient contains ``1/(s_j^2 - s_i^2)`` terms that
+    produce inf/nan for (near-)degenerate singular values.  Kabsch here is
+    often evaluated on branches that a later ``jnp.where`` discards (e.g.
+    RaFlow's conditional inlier re-fit, raflow.py:99-113 — the reference
+    skips the computation in python, we compute it batched), and a nan in
+    the discarded branch still poisons the whole gradient (0 * inf = nan).
+
+    This custom JVP is the standard SVD differential (Townsend 2016) with
+    the resolvent ``F_ij = 1/(s_j^2 - s_i^2)`` replaced by the Tikhonov-
+    regularized ``d / (d^2 + eps)`` — exact when singular values are well
+    separated, smoothly clamped to finite values when they collide.
+    """
+    return jnp.linalg.svd(h)
+
+
+@_svd3.defjvp
+def _svd3_jvp(primals, tangents):
+    (h,) = primals
+    (dh,) = tangents
+    u, s, vh = jnp.linalg.svd(h)
+    v = jnp.swapaxes(vh, -1, -2)
+    ut = jnp.swapaxes(u, -1, -2)
+
+    dp = ut @ dh @ v  # [..., 3, 3]
+    ds = jnp.diagonal(dp, axis1=-2, axis2=-1)
+
+    s2 = s * s
+    d = s2[..., None, :] - s2[..., :, None]  # d[i,j] = s_j^2 - s_i^2
+    smax2 = jnp.max(s2, axis=-1, keepdims=True)[..., None]
+    # the additive floor keeps eps**2 > 0 in float32 (no subnormal underflow
+    # even at H = 0, where d/(d*d+0) would be 0/0)
+    eps = (1e-8 * smax2 + 1e-18) ** 2
+    f = d / (d * d + eps)
+
+    dpt = jnp.swapaxes(dp, -1, -2)
+    du = u @ (f * (dp * s[..., None, :] + s[..., :, None] * dpt))
+    dv = v @ (f * (s[..., :, None] * dp + dpt * s[..., None, :]))
+    dvh = jnp.swapaxes(dv, -1, -2)
+    return (u, s, vh), (du, ds, dvh)
+
+
 def weighted_kabsch(
     a: Array,
     b: Array,
@@ -92,7 +137,7 @@ def weighted_kabsch(
 
     # jnp.linalg.svd returns (U, S, Vh) with H = U @ diag(S) @ Vh;
     # torch.svd returns V = Vh^T.
-    u, _, vh = jnp.linalg.svd(h)
+    u, _, vh = _svd3(h)
     v = jnp.swapaxes(vh, -1, -2)
     ut = jnp.swapaxes(u, -1, -2)
 

@@ -30,6 +30,20 @@ from cmflow_tpu.ops import pointops
 Array = jax.Array
 
 
+def _l2_norm(x: Array, axis: int = -1) -> Array:
+    """L2 norm with torch's zero-subgradient convention.
+
+    ``jnp.linalg.norm`` has a NaN gradient at exactly 0; torch defines the
+    subgradient there as 0.  Zero differences genuinely occur: the loader
+    duplicates points when a cloud has fewer than ``num_points``
+    (dataset/vod.py:104-111), so a point's k-NN set can contain its own
+    duplicate with an identical predicted flow.
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
+
 def soft_chamfer_loss(
     pc1: Array, pc2: Array, pc1_warp: Array, zeta: float = 0.005
 ) -> Array:
@@ -66,7 +80,7 @@ def spatial_smoothness_loss(
     ).reshape(b, n, num_nb)
 
     grouped = pointops.group_points(pred_flow, kidx)  # [B, N, K, 3]
-    diff = jnp.linalg.norm(grouped - pred_flow[:, :, None, :], axis=-1)
+    diff = _l2_norm(grouped - pred_flow[:, :, None, :])
     per_point = jnp.sum(n * w * diff, axis=2)
     return jnp.mean(per_point)
 
@@ -113,7 +127,7 @@ def ego_motion_loss(pc1: Array, pre_trans: Array, gt_trans: Array) -> Array:
     (radar_loss.py:163-182)."""
     p_pre = se3.apply_transform(pc1, pre_trans)
     p_gt = se3.apply_transform(pc1, gt_trans)
-    return jnp.mean(jnp.linalg.norm(p_pre - p_gt, axis=-1))
+    return jnp.mean(_l2_norm(p_pre - p_gt))
 
 
 def _global_ratio(num: Array, den: Array, axis_name: Optional[str]) -> Array:
@@ -189,7 +203,7 @@ def dynamic_flow_loss(
     """Supervised flow loss on (pseudo-labelled) moving points
     (radar_loss.py:244-258).  ``dyn_mask``: 1 = static, 0 = moving."""
     moving = 1.0 - dyn_mask
-    err = jnp.linalg.norm(gt_f - pred_f, axis=-1)
+    err = _l2_norm(gt_f - pred_f)
     return _global_ratio(jnp.sum(moving * err), jnp.sum(moving), axis_name)
 
 

@@ -92,6 +92,14 @@ class PointLocalFeature(nn.Module):
     """Ball-query local feature abstraction (radarflow_util.py:121-162).
 
     query_and_group -> mlp (on [B,N,K,3+C]) -> max over K -> mlp2.
+
+    TPU optimization (exact, not approximate): the first grouped layer is
+    ``W @ concat(rel_xyz, feat[idx])`` with no bias — a linear map — so the
+    feature half is computed **per point** (N rows) and then gathered,
+    instead of transforming each of the N*K gathered copies.  For the
+    propagation encoder (C=1027 -> 512) this cuts the dominant matmul's
+    FLOPs and HBM traffic by ~sum(K)=60x while producing bitwise-equivalent
+    math modulo fp reassociation.
     """
 
     radius: float
@@ -108,12 +116,27 @@ class PointLocalFeature(nn.Module):
         train: bool,
         valid: Optional[Array] = None,
     ) -> Array:
-        grouped = pointops.query_and_group(
-            self.radius, self.nsample, xyz, xyz, features, xyz_valid=valid
-        )  # [B, N, K, 3 + C]
-        h = PointwiseMLP(self.mlp, axis_name=self.axis_name, name="mlp")(
-            grouped, train
-        )
+        c_in = features.shape[-1] + 3
+        c1 = self.mlp[0]
+        w0 = self.param("w0", torch_kernel_init, (c_in, c1))
+
+        idx = pointops.ball_query(self.radius, self.nsample, xyz, xyz, valid)
+        rel = pointops.group_points(xyz, idx) - xyz[:, :, None, :]
+
+        # factored first layer: per-point feature transform, then gather
+        feat_tx = jnp.einsum("bnc,cd->bnd", features, w0[3:],
+                             preferred_element_type=jnp.float32)
+        pre = (jnp.einsum("bnkc,cd->bnkd", rel, w0[:3],
+                          preferred_element_type=jnp.float32)
+               + pointops.group_points(feat_tx, idx))
+        h = nn.relu(nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis_name=self.axis_name if train else None, name="bn0",
+        )(pre))
+
+        if len(self.mlp) > 1:
+            h = PointwiseMLP(self.mlp[1:], axis_name=self.axis_name,
+                             name="mlp")(h, train)
         h = jnp.max(h, axis=2)  # max over neighbors
         h = PointwiseMLP(self.mlp2, axis_name=self.axis_name, name="mlp2")(
             h, train
@@ -175,7 +198,16 @@ class WeightNet(nn.Module):
 
 class FeatureCorrelator(nn.Module):
     """Point-to-patch + patch-to-patch cost volume
-    (radarflow_util.py:164-237; bn=False, LeakyReLU(0.1), conv bias on)."""
+    (radarflow_util.py:164-237; bn=False, LeakyReLU(0.1), conv bias on).
+
+    TPU optimization (exact): the first correlation layer is
+    ``W @ concat(f1_broadcast, f2[idx], dir) + b`` — linear — so the two
+    feature halves are transformed **per point** (N rows each) and combined
+    after broadcast/gather, instead of transforming all N*K expanded copies.
+    Cuts the first-layer matmul FLOPs/HBM traffic by ~K x (K=8).  The param
+    is a single ``[D1+D2+3, C]`` kernel (sliced into blocks), so the init
+    distribution is identical to the unfactored Dense.
+    """
 
     nsample: int
     mlp: Sequence[int]
@@ -193,21 +225,33 @@ class FeatureCorrelator(nn.Module):
     ) -> Array:
         b, n1, _ = xyz1.shape
         k = self.nsample
+        d1 = points1.shape[-1]
+        d2 = points2.shape[-1]
+        c_in = d1 + d2 + 3
+        c1 = self.mlp[0]
 
         # --- point-to-patch volume over frame-2 neighborhoods
         knn_idx = pointops.knn(k, xyz1, xyz2, valid2)  # [B, N1, K]
         neighbor_xyz = pointops.group_points(xyz2, knn_idx)
         direction = neighbor_xyz - xyz1[:, :, None, :]  # [B, N1, K, 3]
 
-        grouped2 = pointops.group_points(points2, knn_idx)  # [B, N1, K, D2]
-        grouped1 = jnp.broadcast_to(
-            points1[:, :, None, :], (b, n1, k, points1.shape[-1])
-        )
-        new_points = jnp.concatenate([grouped1, grouped2, direction], axis=-1)
-        new_points = PointwiseMLP(
-            self.mlp, use_bn=False, use_bias=True, negative_slope=0.1,
-            name="mlp",
-        )(new_points, train)
+        w0 = self.param("w0", torch_kernel_init, (c_in, c1))
+        b0 = self.param("b0", _torch_bias_init(c_in), (c1,))
+        f1_tx = jnp.einsum("bnc,cd->bnd", points1, w0[:d1],
+                           preferred_element_type=jnp.float32)
+        f2_tx = jnp.einsum("bnc,cd->bnd", points2, w0[d1:d1 + d2],
+                           preferred_element_type=jnp.float32)
+        pre = (f1_tx[:, :, None, :]
+               + pointops.group_points(f2_tx, knn_idx)
+               + jnp.einsum("bnkc,cd->bnkd", direction, w0[d1 + d2:],
+                            preferred_element_type=jnp.float32)
+               + b0)
+        new_points = nn.leaky_relu(pre, 0.1)
+        if len(self.mlp) > 1:
+            new_points = PointwiseMLP(
+                self.mlp[1:], use_bn=False, use_bias=True,
+                negative_slope=0.1, name="mlp",
+            )(new_points, train)
 
         weights = WeightNet(self.mlp[-1], name="weightnet1")(direction)
         point_to_patch = jnp.sum(weights * new_points, axis=2)  # [B, N1, C]

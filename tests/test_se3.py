@@ -158,3 +158,73 @@ class TestCamera:
                                         jnp.array(t_cr))
         )
         np.testing.assert_allclose(d, 0.0, atol=1e-2)
+
+
+class TestGradientSafety:
+    """NaN-free gradients through branches a jnp.where later discards.
+
+    The reference skips degenerate Kabsch fits in python (raflow.py:99-113);
+    we compute them batched, so their *gradients* must stay finite even for
+    zero/degenerate weight sets (0 * inf = nan would poison the whole step).
+    """
+
+    def test_kabsch_grad_finite_for_degenerate_weights(self, rng):
+        import jax
+
+        a = jnp.array(rng.randn(1, 32, 3).astype(np.float32))
+        b = jnp.array(rng.randn(1, 32, 3).astype(np.float32))
+        for n_in in [0, 1, 2, 32]:
+            w = jnp.zeros((1, 32)).at[0, :n_in].set(1.0)
+
+            def loss(bb):
+                t = geometry.weighted_kabsch(
+                    a, bb, w, centroid="mean_n", reflect="row",
+                    n_override=jnp.array([32.0]),
+                )
+                return jnp.sum(t)
+
+            g = jax.grad(loss)(b)
+            assert bool(jnp.isfinite(g).all()), f"NaN grad at n_in={n_in}"
+
+    def test_kabsch_grad_finite_identical_clouds(self, rng):
+        import jax
+
+        a = jnp.array(rng.randn(2, 16, 3).astype(np.float32))
+
+        def loss(bb):
+            return jnp.sum(geometry.weighted_kabsch(a, bb, centroid="norm"))
+
+        g = jax.grad(loss)(a)  # b == a: tied singular values
+        assert bool(jnp.isfinite(g).all())
+
+    def test_svd3_jvp_matches_builtin_when_well_conditioned(self, rng):
+        import jax
+
+        h = jnp.array(rng.randn(4, 3, 3).astype(np.float32))
+        dh = jnp.array(rng.randn(4, 3, 3).astype(np.float32))
+        _, tan_safe = jax.jvp(geometry.se3._svd3, (h,), (dh,))
+        _, tan_ref = jax.jvp(jnp.linalg.svd, (h,), (dh,))
+        for ts, tr in zip(tan_safe, tan_ref):
+            np.testing.assert_allclose(np.asarray(ts), np.asarray(tr),
+                                       atol=1e-4)
+
+    def test_loss_norms_zero_subgradient(self, rng):
+        import jax
+
+        from cmflow_tpu.losses import radar_loss as rl
+
+        # duplicated points -> identical flows in the k-NN set -> exact-zero
+        # diffs inside the smoothness norm
+        base = rng.randn(1, 8, 3).astype(np.float32)
+        pc1 = jnp.array(np.concatenate([base, base], axis=1))
+        flow = jnp.array(rng.randn(1, 16, 3).astype(np.float32))
+        flow = flow.at[0, 8:].set(flow[0, :8])
+
+        g = jax.grad(lambda f: rl.spatial_smoothness_loss(pc1, f))(flow)
+        assert bool(jnp.isfinite(g).all())
+
+        # dynamic flow loss with gt == pred on a moving point
+        gt = flow
+        dyn = jnp.zeros((1, 16))
+        g2 = jax.grad(lambda f: rl.dynamic_flow_loss(f, gt, dyn))(flow)
+        assert bool(jnp.isfinite(g2).all())

@@ -166,10 +166,13 @@ class TestDataParallel:
                          jax.tree_util.tree_leaves(s2.params)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), atol=5e-3)
-        # a second step must also track within Adam's fp-noise
-        # amplification envelope (g/(sqrt(v)+eps) on near-zero moments
-        # magnifies reduction-order differences)
+        # second step from *re-synced* states: measures one step of
+        # divergence only.  (Free-running trajectories compound Adam's
+        # rsqrt(v)-amplified fp noise through discrete masks — cls > 0.5,
+        # Kabsch inlier flips — and are chaotic by construction.)
+        s1_copy = jax.tree_util.tree_map(jnp.copy, s1)
+        s2_sync = meshlib.replicate(mesh, s1_copy)
         s1b, items1b = step_single(s1, batch)
-        s2b, items2b = step_dp(s2, sharded)
+        s2b, items2b = step_dp(s2_sync, sharded)
         np.testing.assert_allclose(
-            float(items1b["Loss"]), float(items2b["Loss"]), rtol=1e-2)
+            float(items1b["Loss"]), float(items2b["Loss"]), rtol=1e-3)
