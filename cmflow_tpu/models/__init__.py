@@ -26,6 +26,11 @@ def build_model(name: str, config: Any = None, axis_name=None):
     if name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {name!r}; have {list(MODEL_REGISTRY)}")
     kwargs = {"axis_name": axis_name}
+    compute_dtype = getattr(config, "compute_dtype", None)
+    if compute_dtype and compute_dtype != "float32":
+        import jax.numpy as jnp
+
+        kwargs["dtype"] = jnp.dtype(compute_dtype)
     if name == "raflow":
         kwargs["rigid_thres"] = getattr(config, "rigid_thres", 0.15)
     elif name == "cmflow":

@@ -81,6 +81,7 @@ class SceneFlowTrunk(nn.Module):
 
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -96,7 +97,7 @@ class SceneFlowTrunk(nn.Module):
         cfg = self.cfg
         mse = MultiScaleEncoder(
             cfg.sa_radii, cfg.sa_nsamples, cfg.sa_mlp, cfg.sa_mlp2,
-            axis_name=self.axis_name, name="mse_layer",
+            axis_name=self.axis_name, dtype=self.dtype, name="mse_layer",
         )
         # shared weights across the two frames, like the reference's single
         # self.mse_layer applied to both clouds
@@ -116,13 +117,13 @@ class SceneFlowTrunk(nn.Module):
         )
 
         cor = FeatureCorrelator(
-            cfg.fc_nsample, cfg.fc_mlp, name="fc_layer"
+            cfg.fc_nsample, cfg.fc_mlp, dtype=self.dtype, name="fc_layer"
         )(pc1, pc2, pc1_feat, pc2_feat, train, valid1, valid2)
 
         embeddings = jnp.concatenate([feature1, pc1_feat, cor], axis=-1)
         prop = MultiScaleEncoder(
             cfg.sa_radii, cfg.sa_nsamples, cfg.ep_mlp, cfg.ep_mlp2,
-            axis_name=self.axis_name, name="mse_layer2",
+            axis_name=self.axis_name, dtype=self.dtype, name="mse_layer2",
         )(pc1, embeddings, train, valid1)
         return prop
 

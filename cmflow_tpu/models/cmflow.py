@@ -38,6 +38,7 @@ class CMFlow(nn.Module):
     stat_thres: float = 0.5
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -52,16 +53,19 @@ class CMFlow(nn.Module):
         valid2: Optional[Array] = None,
     ) -> Tuple[Array, Array, Array, Array]:
         cfg = self.cfg
-        prop = SceneFlowTrunk(cfg, axis_name=self.axis_name, name="trunk")(
+        prop = SceneFlowTrunk(cfg, axis_name=self.axis_name,
+                              dtype=self.dtype, name="trunk")(
             pc1, pc2, feature1, feature2, train, valid1, valid2
         )
         final = concat_global(prop, masked_global_max(prop, valid1))
 
-        output = FlowHead(cfg.head_mlp, axis_name=self.axis_name, name="fp")(
+        output = FlowHead(cfg.head_mlp, axis_name=self.axis_name,
+                          dtype=self.dtype, name="fp")(
             final, train
         )  # [B, N, 3] initial flow
         stat_cls = MotionHead(
-            cfg.head_mlp, axis_name=self.axis_name, name="mp"
+            cfg.head_mlp, axis_name=self.axis_name, dtype=self.dtype,
+            name="mp"
         )(final, train)  # [B, N] static probability
 
         # training uses the pseudo mask label for ego-motion; inference the

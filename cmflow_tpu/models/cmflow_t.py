@@ -42,6 +42,7 @@ class CMFlowT(nn.Module):
     stat_thres: float = 0.5  # hardcoded in the reference (cmflow_t.py:18)
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -57,7 +58,8 @@ class CMFlowT(nn.Module):
         valid2: Optional[Array] = None,
     ) -> Tuple[Array, Array, Array, Array, Array]:
         cfg = self.cfg
-        prop = SceneFlowTrunk(cfg, axis_name=self.axis_name, name="trunk")(
+        prop = SceneFlowTrunk(cfg, axis_name=self.axis_name,
+                              dtype=self.dtype, name="trunk")(
             pc1, pc2, feature1, feature2, train, valid1, valid2
         )
 
@@ -68,11 +70,13 @@ class CMFlowT(nn.Module):
         )
         final = concat_global(prop, gfeat_new)
 
-        output = FlowHead(cfg.head_mlp, axis_name=self.axis_name, name="fp")(
+        output = FlowHead(cfg.head_mlp, axis_name=self.axis_name,
+                          dtype=self.dtype, name="fp")(
             final, train
         )
         stat_cls = MotionHead(
-            cfg.head_mlp, axis_name=self.axis_name, name="mp"
+            cfg.head_mlp, axis_name=self.axis_name, dtype=self.dtype,
+            name="mp"
         )(final, train)
 
         if train and label_m is not None:

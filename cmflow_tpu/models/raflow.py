@@ -34,6 +34,7 @@ class RaFlow(nn.Module):
     rigid_pcs: float = 0.25  # min inlier fraction to apply the rigid re-fit
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -49,11 +50,13 @@ class RaFlow(nn.Module):
     ) -> Tuple[Array, Array, Array, Array]:
         cfg = self.cfg
         # ROFE module (raflow.py:46-76): trunk + FlowDecoder head
-        prop = SceneFlowTrunk(cfg, axis_name=self.axis_name, name="trunk")(
+        prop = SceneFlowTrunk(cfg, axis_name=self.axis_name,
+                              dtype=self.dtype, name="trunk")(
             pc1, pc2, feature1, feature2, train, valid1, valid2
         )
         final = concat_global(prop, masked_global_max(prop, valid1))
-        output = FlowHead(cfg.head_mlp, axis_name=self.axis_name, name="fp")(
+        output = FlowHead(cfg.head_mlp, axis_name=self.axis_name,
+                          dtype=self.dtype, name="fp")(
             final, train
         )
 

@@ -61,6 +61,8 @@ class PointwiseMLP(nn.Module):
     negative_slope: float = 0.0  # 0 => ReLU, else LeakyReLU
     bn_momentum: float = 0.9  # torch momentum 0.1 => flax 0.9
     axis_name: Optional[str] = None  # cross-replica BN stats under shard_map
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 rides the MXU);
+    # params and BN statistics stay float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
@@ -71,8 +73,11 @@ class PointwiseMLP(nn.Module):
                 use_bias=self.use_bias,
                 kernel_init=torch_kernel_init,
                 bias_init=_torch_bias_init(fan_in),
+                dtype=self.dtype,
                 name=f"dense_{i}",
             )(x)
+            if self.dtype is not None:
+                x = x.astype(jnp.float32)
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -107,6 +112,7 @@ class PointLocalFeature(nn.Module):
     mlp: Sequence[int]
     mlp2: Sequence[int]
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -119,14 +125,17 @@ class PointLocalFeature(nn.Module):
         c_in = features.shape[-1] + 3
         c1 = self.mlp[0]
         w0 = self.param("w0", torch_kernel_init, (c_in, c1))
+        cdt = self.dtype or w0.dtype  # bf16 multiplies, f32 accumulation
 
         idx = pointops.ball_query(self.radius, self.nsample, xyz, xyz, valid)
         rel = pointops.group_points(xyz, idx) - xyz[:, :, None, :]
 
         # factored first layer: per-point feature transform, then gather
-        feat_tx = jnp.einsum("bnc,cd->bnd", features, w0[3:],
+        feat_tx = jnp.einsum("bnc,cd->bnd",
+                             features.astype(cdt), w0[3:].astype(cdt),
                              preferred_element_type=jnp.float32)
-        pre = (jnp.einsum("bnkc,cd->bnkd", rel, w0[:3],
+        pre = (jnp.einsum("bnkc,cd->bnkd",
+                          rel.astype(cdt), w0[:3].astype(cdt),
                           preferred_element_type=jnp.float32)
                + pointops.group_points(feat_tx, idx))
         h = nn.relu(nn.BatchNorm(
@@ -136,11 +145,10 @@ class PointLocalFeature(nn.Module):
 
         if len(self.mlp) > 1:
             h = PointwiseMLP(self.mlp[1:], axis_name=self.axis_name,
-                             name="mlp")(h, train)
+                             dtype=self.dtype, name="mlp")(h, train)
         h = jnp.max(h, axis=2)  # max over neighbors
-        h = PointwiseMLP(self.mlp2, axis_name=self.axis_name, name="mlp2")(
-            h, train
-        )
+        h = PointwiseMLP(self.mlp2, axis_name=self.axis_name,
+                         dtype=self.dtype, name="mlp2")(h, train)
         return h  # [B, N, mlp2[-1]]
 
 
@@ -153,6 +161,7 @@ class MultiScaleEncoder(nn.Module):
     mlp: Sequence[int]
     mlp2: Sequence[int]
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -167,7 +176,8 @@ class MultiScaleEncoder(nn.Module):
             outs.append(
                 PointLocalFeature(
                     r, k, self.mlp, self.mlp2,
-                    axis_name=self.axis_name, name=f"scale_{i}",
+                    axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"scale_{i}",
                 )(xyz, features, train, valid)
             )
         return jnp.concatenate(outs, axis=-1)
@@ -179,6 +189,7 @@ class WeightNet(nn.Module):
 
     out_channel: int
     hidden: Sequence[int] = (8, 8)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, offsets: Array) -> Array:
@@ -190,10 +201,11 @@ class WeightNet(nn.Module):
                 use_bias=True,
                 kernel_init=torch_kernel_init,
                 bias_init=_torch_bias_init(fan_in),
+                dtype=self.dtype,
                 name=f"dense_{i}",
             )(x)
             x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class FeatureCorrelator(nn.Module):
@@ -211,6 +223,7 @@ class FeatureCorrelator(nn.Module):
 
     nsample: int
     mlp: Sequence[int]
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -237,23 +250,28 @@ class FeatureCorrelator(nn.Module):
 
         w0 = self.param("w0", torch_kernel_init, (c_in, c1))
         b0 = self.param("b0", _torch_bias_init(c_in), (c1,))
-        f1_tx = jnp.einsum("bnc,cd->bnd", points1, w0[:d1],
+        cdt = self.dtype or w0.dtype
+        f1_tx = jnp.einsum("bnc,cd->bnd",
+                           points1.astype(cdt), w0[:d1].astype(cdt),
                            preferred_element_type=jnp.float32)
-        f2_tx = jnp.einsum("bnc,cd->bnd", points2, w0[d1:d1 + d2],
+        f2_tx = jnp.einsum("bnc,cd->bnd",
+                           points2.astype(cdt), w0[d1:d1 + d2].astype(cdt),
                            preferred_element_type=jnp.float32)
         pre = (f1_tx[:, :, None, :]
                + pointops.group_points(f2_tx, knn_idx)
-               + jnp.einsum("bnkc,cd->bnkd", direction, w0[d1 + d2:],
+               + jnp.einsum("bnkc,cd->bnkd",
+                            direction.astype(cdt), w0[d1 + d2:].astype(cdt),
                             preferred_element_type=jnp.float32)
                + b0)
         new_points = nn.leaky_relu(pre, 0.1)
         if len(self.mlp) > 1:
             new_points = PointwiseMLP(
                 self.mlp[1:], use_bn=False, use_bias=True,
-                negative_slope=0.1, name="mlp",
+                negative_slope=0.1, dtype=self.dtype, name="mlp",
             )(new_points, train)
 
-        weights = WeightNet(self.mlp[-1], name="weightnet1")(direction)
+        weights = WeightNet(self.mlp[-1], dtype=self.dtype,
+                            name="weightnet1")(direction)
         point_to_patch = jnp.sum(weights * new_points, axis=2)  # [B, N1, C]
 
         # --- patch-to-patch aggregation over frame-1 neighborhoods
@@ -261,42 +279,47 @@ class FeatureCorrelator(nn.Module):
         neighbor_xyz = pointops.group_points(xyz1, knn_idx)
         direction = neighbor_xyz - xyz1[:, :, None, :]
 
-        weights = WeightNet(self.mlp[-1], name="weightnet2")(direction)
+        weights = WeightNet(self.mlp[-1], dtype=self.dtype,
+                            name="weightnet2")(direction)
         grouped_cost = pointops.group_points(point_to_patch, knn_idx)
         return jnp.sum(weights * grouped_cost, axis=2)  # [B, N1, C]
 
 
 class FlowHead(nn.Module):
-    """Scene-flow regression head (radarflow_util.py:240-261)."""
+    """Scene-flow regression head (radarflow_util.py:240-261).
+    Output is always float32 (feeds Kabsch/losses)."""
 
     mlp: Sequence[int]
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feat: Array, train: bool) -> Array:
-        h = PointwiseMLP(self.mlp, axis_name=self.axis_name, name="mlp")(
-            feat, train
-        )
-        return nn.Dense(
-            3, use_bias=False, kernel_init=torch_kernel_init, name="out"
+        h = PointwiseMLP(self.mlp, axis_name=self.axis_name,
+                         dtype=self.dtype, name="mlp")(feat, train)
+        out = nn.Dense(
+            3, use_bias=False, kernel_init=torch_kernel_init,
+            dtype=self.dtype, name="out"
         )(h)
+        return out.astype(jnp.float32)
 
 
 class MotionHead(nn.Module):
     """Static/moving classification head (radarflow_util.py:263-285).
-    Returns probabilities in (0, 1), shape ``[B, N]``."""
+    Returns float32 probabilities in (0, 1), shape ``[B, N]``."""
 
     mlp: Sequence[int]
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feat: Array, train: bool) -> Array:
-        h = PointwiseMLP(self.mlp, axis_name=self.axis_name, name="mlp")(
-            feat, train
-        )
+        h = PointwiseMLP(self.mlp, axis_name=self.axis_name,
+                         dtype=self.dtype, name="mlp")(feat, train)
         logit = nn.Dense(
-            1, use_bias=False, kernel_init=torch_kernel_init, name="out"
-        )(h)
+            1, use_bias=False, kernel_init=torch_kernel_init,
+            dtype=self.dtype, name="out"
+        )(h).astype(jnp.float32)
         return nn.sigmoid(logit)[..., 0]
 
 

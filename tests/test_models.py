@@ -154,3 +154,40 @@ class TestCMFlowT:
         # feeding the evolved carry changes the prediction
         sf2, *_ = m.apply(v, pc1, pc2, ft1, ft2, None, False, g1)
         assert not np.allclose(np.asarray(sf), np.asarray(sf2))
+
+
+class TestComputeDtype:
+    def test_bfloat16_forward_close_to_float32(self):
+        """compute_dtype=bfloat16 keeps params/BN f32 and matches the f32
+        forward within bf16 mantissa error (params are shared)."""
+        import types
+
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        b, n = 2, 64
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+
+        m32 = build_model("cmflow")
+        m16 = build_model(
+            "cmflow", types.SimpleNamespace(compute_dtype="bfloat16"))
+        v = m32.init({"params": jax.random.PRNGKey(0)},
+                     pc1, pc2, ft1, ft2, None, False)
+        # identical param tree: bf16 is a compute dtype, not a param dtype
+        v16 = m16.init({"params": jax.random.PRNGKey(0)},
+                       pc1, pc2, ft1, ft2, None, False)
+        for a, c in zip(jax.tree_util.tree_leaves(v["params"]),
+                        jax.tree_util.tree_leaves(v16["params"])):
+            assert a.dtype == c.dtype == jnp.float32
+
+        o32 = m32.apply(v, pc1, pc2, ft1, ft2, None, False)
+        o16 = m16.apply(v, pc1, pc2, ft1, ft2, None, False)
+        cls32, cls16 = np.asarray(o32[1]), np.asarray(o16[1])
+        assert cls16.dtype == np.float32
+        np.testing.assert_allclose(cls32, cls16, atol=2e-2)
+        tr32, tr16 = np.asarray(o32[2]), np.asarray(o16[2])
+        np.testing.assert_allclose(tr32, tr16, atol=2e-2)
