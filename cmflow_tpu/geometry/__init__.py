@@ -5,6 +5,7 @@ from cmflow_tpu.geometry.camera import (
 )
 from cmflow_tpu.geometry.se3 import (
     apply_transform,
+    get_matrix_from_ext,
     kde_density,
     make_transform,
     quat2mat,
@@ -17,6 +18,7 @@ from cmflow_tpu.geometry.se3 import (
 __all__ = [
     "CameraCalib",
     "apply_transform",
+    "get_matrix_from_ext",
     "kde_density",
     "make_transform",
     "point_ray_distance",

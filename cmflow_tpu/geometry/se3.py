@@ -222,6 +222,21 @@ def quat2mat(quat: Array) -> Array:
     return rot.reshape(-1, 3, 3)
 
 
+def get_matrix_from_ext(ext):
+    """Sensor extrinsic (x, y, z, yaw, pitch, roll degrees) -> 4x4 transform
+    (utils/util.py:225-243; host-side numpy, supports [6] and [N, 6])."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation as R
+
+    ext = np.asarray(ext)
+    rot = R.from_euler("ZYX", ext[..., 3:], degrees=True).as_matrix()
+    tr = np.zeros(ext.shape[:-1] + (4, 4))
+    tr[..., :3, :3] = rot
+    tr[..., :3, 3] = ext[..., :3]
+    tr[..., 3, 3] = 1.0
+    return tr
+
+
 def kde_density(xyz1: Array, xyz2: Array, bandwidth: float = 1.0) -> Array:
     """Gaussian KDE point density (compute_density_loss, utils/util.py:172-182).
 

@@ -139,6 +139,7 @@ def _to_device(batch, mesh):
 def evaluate_frames(
     cfg: Config, model, state, dataset, textio,
     save_res_dir: Optional[str] = None,
+    vis_dir: Optional[str] = None,
 ) -> Tuple[Dict, Dict, Dict]:
     """Frame-pair evaluation (eval_one_epoch, main_util.py:93-206), with
     static padded shapes and per-frame metric accumulation.
@@ -230,6 +231,18 @@ def evaluate_frames(
                 }
                 with open(os.path.join(cdir, f"{num_pcs}.json"), "w") as fo:
                     json.dump(out, fo)
+
+            if vis_dir is not None:
+                # BEV flow + segmentation PNGs (main_util.py:170-172,
+                # utils/vis_util.py:16-176)
+                from cmflow_tpu.utils.vis import plot_flow_bev, plot_seg_bev
+
+                os.makedirs(vis_dir, exist_ok=True)
+                plot_flow_bev(
+                    pc1, f, os.path.join(vis_dir, f"{num_pcs}_flow.png"))
+                plot_seg_bev(
+                    pc1, m > cfg.stat_thres,
+                    os.path.join(vis_dir, f"{num_pcs}_seg.png"))
             num_pcs += 1
 
     for d in (sf_metric, seg_metric, pose_metric):
@@ -362,8 +375,9 @@ def eval_experiment(cfg: Config, textio=None) -> Dict:
         textio.cprint("WARNING: no checkpoint found, evaluating random init")
 
     save_dir = os.path.join(exp_dir, "results") if cfg.save_res else None
+    vis_dir = os.path.join(exp_dir, "test_vis") if cfg.vis else None
     sf, seg, pose = evaluate_frames(cfg, model, state, test_ds, textio,
-                                    save_res_dir=save_dir)
+                                    save_res_dir=save_dir, vis_dir=vis_dir)
     for d in (sf, seg, pose):
         for k, v in d.items():
             textio.cprint(f"###The mean {k}: {v}###")

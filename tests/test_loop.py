@@ -67,14 +67,17 @@ class TestTrainLoop:
         assert os.path.exists(os.path.join(exp, "metrics.jsonl"))
         assert os.path.isdir(os.path.join(exp, "models", "best"))
 
-        # eval run restoring the checkpoint + result dumps
-        cfg2 = cfg.replace(eval=True, save_res=True,
+        # eval run restoring the checkpoint + result dumps + BEV vis
+        cfg2 = cfg.replace(eval=True, save_res=True, vis=True,
                            model_path=os.path.join(exp, "models", "best"))
         res = eval_experiment(cfg2)
         assert np.isfinite(res["sf"]["rne"])
         results = os.path.join(exp, "results")
         dumped = [f for _, _, fs in os.walk(results) for f in fs]
         assert len(dumped) == 2  # one per test frame
+        pngs = os.listdir(os.path.join(exp, "test_vis"))
+        assert sorted(pngs) == ["0_flow.png", "0_seg.png",
+                                "1_flow.png", "1_seg.png"]
         # dumps follow the reference layout: [3, N] lists
         path = next(
             os.path.join(r, f) for r, _, fs in os.walk(results) for f in fs)
