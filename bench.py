@@ -47,32 +47,70 @@ def make_clouds(b, n, seed=0):
 # TPU (JAX) side
 
 
-def bench_tpu_eval(b, n):
+def _rtt_seconds():
+    """Median round-trip of a warmed trivial fetch.
+
+    On tunneled platforms ``block_until_ready`` can return before the device
+    finished; only a value fetch is a true sync.  All timings here therefore
+    chain iterations through a data dependency, fetch one scalar at the end,
+    and subtract this RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    float(tiny(z))
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tiny(z))
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[len(samples) // 2]
+
+
+def bench_tpu_eval(b, n, fused=None):
+    """CMFlow eval throughput.  ``fused=None`` resolves like the config's
+    "auto": the Pallas serving engine on TPU, the flax path elsewhere."""
     import jax
     import jax.numpy as jnp
 
     from cmflow_tpu.models import build_model
+
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
 
     model = build_model("cmflow")
     pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            pc1, pc2, ft1, ft2, None, False)
 
-    @jax.jit
-    def fwd(v, a, c, d, e):
-        return model.apply(v, a, c, d, e, None, False)
+    if fused:
+        from cmflow_tpu.models.inference import cmflow_infer
 
-    out = fwd(variables, pc1, pc2, ft1, ft2)
-    jax.block_until_ready(out)
+        @jax.jit
+        def fwd_chain(v, a, c, d, e):
+            sf, cls, trans, mask = cmflow_infer(v, a, c, d, e)
+            return sf * 1e-6 + d  # data dependency carrier
+    else:
+        @jax.jit
+        def fwd_chain(v, a, c, d, e):
+            sf, cls, trans, mask = model.apply(v, a, c, d, e, None, False)
+            return sf * 1e-6 + d
 
+    f = fwd_chain(variables, pc1, pc2, ft1, ft2)
+    float(f[0, 0, 0])  # compile + full sync
+    rtt = _rtt_seconds()
+
+    f = ft1
     t0 = time.perf_counter()
     for _ in range(TPU_ITERS):
-        out = fwd(variables, pc1, pc2, ft1, ft2)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        f = fwd_chain(variables, pc1, pc2, f, ft2)
+    float(f[0, 0, 0])
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     fps = b * TPU_ITERS / dt
-    log(f"tpu eval: B={b} N={n} {dt / TPU_ITERS * 1e3:.2f} ms/it "
-        f"-> {fps:.1f} frames/s")
+    log(f"tpu eval (fused={fused}): B={b} N={n} "
+        f"{dt / TPU_ITERS * 1e3:.2f} ms/it "
+        f"(rtt {rtt * 1e3:.1f} ms) -> {fps:.1f} frames/s")
     return fps
 
 
@@ -106,13 +144,14 @@ def bench_tpu_train(b, n):
     step = steplib.make_train_step("cmflow", model, VOD_CAMERA_PROJECTION,
                                    VOD_T_CAMERA_RADAR)
     state, items = step(state, batch)
-    jax.block_until_ready(items["Loss"])
+    float(items["Loss"])  # compile + full sync
+    rtt = _rtt_seconds()
     iters = max(TPU_ITERS // 2, 5)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, items = step(state, batch)
-    jax.block_until_ready(items["Loss"])
-    dt = time.perf_counter() - t0
+    float(items["Loss"])  # sync through the chained state
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     fps = b * iters / dt
     log(f"tpu train: B={b} N={n} {dt / iters * 1e3:.2f} ms/it "
         f"-> {fps:.1f} frames/s")
@@ -258,6 +297,11 @@ def bench_torch_cpu(b, n):
 def main():
     tpu_fps = bench_tpu_eval(BATCH, N_POINTS)
     try:
+        unfused_fps = bench_tpu_eval(BATCH, N_POINTS, fused=False)
+    except Exception as e:
+        log(f"unfused eval bench failed: {e}")
+        unfused_fps = None
+    try:
         train_fps = bench_tpu_train(BATCH, N_POINTS)
     except Exception as e:  # train bench is secondary — never sink the run
         log(f"train bench failed: {e}")
@@ -275,6 +319,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "extra": {
+            "unfused_eval_frames_per_sec":
+                round(unfused_fps, 2) if unfused_fps else None,
             "train_frames_per_sec": round(train_fps, 2) if train_fps else None,
             "torch_cpu_frames_per_sec": round(cpu_fps, 2) if cpu_fps else None,
             "batch": BATCH,

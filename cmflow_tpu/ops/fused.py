@@ -1,0 +1,203 @@
+"""Pallas TPU fused inference kernels.
+
+``PointLocalFeature`` (radarflow_util.py:121-162) evaluated layer-by-layer
+in XLA materializes a ``[B, N, K, C]`` neighborhood tensor in HBM between
+the gather, every BatchNorm/ReLU, and every Dense of the grouped MLP — for
+the propagation encoder's K=32 scale that is ~1 GB of traffic per layer
+boundary and dominates inference time (profiled: the neighborhood gathers
+alone are ~40% of the CMFlow forward).
+
+This kernel keeps the whole neighborhood computation in VMEM: per
+(batch-element, row-tile) grid step it
+
+  1. builds the gather as a one-hot matmul against the VMEM-resident
+     per-point feature block (MXU, no HBM scatter/gather traffic),
+  2. adds the relative-offset transform (the factored first layer),
+  3. applies the [affine BN -> ReLU -> Dense] chain (BN running statistics
+     are folded into per-channel scale/bias by the host wrapper — eval
+     semantics are exactly affine),
+  4. max-reduces over the K neighbors,
+
+and only the ``[B, N, C_out]`` result ever touches HBM.
+
+Inference-only: training-mode BatchNorm needs global batch statistics,
+which forces HBM materialization between layers (use the unfused path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _plf_kernel(feat_ref, idx_ref, rel_ref, wrel_ref, *rest, num_layers,
+                nsample):
+    """One (batch-element, row-tile) step of the fused encoder.
+
+    rest = s0, b0, [w1, s1, b1, [w2, s2, b2, ...]], out_ref
+
+    The K neighbors are processed by a ``fori_loop`` with a running max —
+    inputs are laid out k-major (``idx [B,K,T,1]``, ``rel [B,K,T,3]``) so
+    the loop index hits a leading, untiled dimension (Mosaic has no layout
+    for [T*K, C] <-> [T, K, C] reshapes), and per-k [T, N] x [N, C] one-hot
+    matmuls are clean MXU shapes anyway.  The one-hot gather is *exact*:
+    each output row sums exactly one nonzero product.
+    """
+    out_ref = rest[-1]
+    affines = rest[:-1]
+
+    n = feat_ref.shape[1]
+    t = idx_ref.shape[2]
+    c_out = out_ref.shape[2]
+
+    cols = lax.broadcasted_iota(jnp.int32, (t, n), dimension=1)
+    feat = feat_ref[0]
+    wrel = wrel_ref[:]
+
+    # hi/lo split: two single-pass bf16 one-hot matmuls reconstruct the f32
+    # feature values to ~2^-16 relative (one MXU pass each; the compiler's
+    # HIGHEST would use six).  The one-hot lhs is exact in bf16.
+    feat_hi = feat.astype(jnp.bfloat16)
+    feat_lo = (feat - feat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def body(kk, acc):
+        idx_k = idx_ref[0, kk]  # [T, 1]
+        onehot = (cols == idx_k).astype(jnp.bfloat16)  # [T, N]
+        g = (jnp.dot(onehot, feat_hi, preferred_element_type=jnp.float32)
+             + jnp.dot(onehot, feat_lo,
+                       preferred_element_type=jnp.float32))
+        rel_k = rel_ref[0, kk]  # [T, 3]
+        x = g + jnp.dot(rel_k, wrel, preferred_element_type=jnp.float32)
+
+        # [affine BN -> ReLU -> Dense] chain
+        x = jnp.maximum(x * affines[0][:] + affines[1][:], 0.0)
+        pos = 2
+        for _ in range(num_layers - 1):
+            w, s, b = affines[pos], affines[pos + 1], affines[pos + 2]
+            pos += 3
+            x = jnp.dot(x, w[:], preferred_element_type=jnp.float32)
+            x = jnp.maximum(x * s[:] + b[:], 0.0)
+
+        return jnp.maximum(acc, x)
+
+    init = jnp.full((t, c_out), -jnp.inf, jnp.float32)
+    out_ref[0] = lax.fori_loop(0, nsample, body, init)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def fused_point_local_feature(
+    feat_tx: Array,
+    idx: Array,
+    rel: Array,
+    params: Tuple[Array, ...],
+    interpret: bool = False,
+) -> Array:
+    """Fused grouped-MLP + max-pool over precomputed neighborhoods.
+
+    Args:
+      feat_tx: ``[B, N, C1]`` per-point features *after* the factored first
+        layer's feature transform (``features @ w0[3:]``).
+      idx: ``[B, N, K]`` int32 ball-query indices.
+      rel: ``[B, N, K, 3]`` relative neighbor offsets.
+      params: flat tuple ``(wrel, s0, b0, w1, s1, b1, ...)`` — the rel-part
+        of the first kernel, then per-layer folded BN scale/bias and Dense
+        kernels (see :func:`fold_bn_affine`).
+      interpret: run in interpreter mode (CPU tests).
+
+    Returns:
+      ``[B, N, C_last]`` max-pooled neighborhood features (pre-``mlp2``).
+    """
+    b, n, c1 = feat_tx.shape
+    k = idx.shape[2]
+    num_layers = 1 + (len(params) - 3) // 3
+    c_out = params[-1].shape[-1]
+
+    tile = n if n <= 64 else 64
+    assert n % tile == 0, (n, tile)
+
+    # k-major layouts so the kernel's K loop indexes a leading dim
+    idx_km = jnp.swapaxes(idx, 1, 2)[..., None]  # [B, K, N, 1]
+    rel_km = jnp.transpose(rel, (0, 2, 1, 3))  # [B, K, N, 3]
+
+    grid = (b, n // tile)
+    in_specs = [
+        pl.BlockSpec((1, n, c1), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k, tile, 1), lambda bi, ti: (bi, 0, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k, tile, 3), lambda bi, ti: (bi, 0, ti, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for p in params:
+        nd = p.ndim
+        in_specs.append(
+            pl.BlockSpec(p.shape, (lambda bi, ti, _nd=nd: (0,) * _nd),
+                         memory_space=pltpu.VMEM)
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_plf_kernel, num_layers=num_layers, nsample=k),
+        out_shape=jax.ShapeDtypeStruct((b, n, c_out), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, c_out),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(feat_tx, idx_km, rel_km, *params)
+    return out
+
+
+def fold_bn_affine(bn_params, bn_stats, eps: float = 1e-5):
+    """Fold eval-mode BatchNorm into per-channel (scale, bias).
+
+    ``bn(x) = gamma * (x - mean) / sqrt(var + eps) + beta = x * s + b``.
+    """
+    gamma = bn_params["scale"]
+    beta = bn_params["bias"]
+    mean = bn_stats["mean"]
+    var = bn_stats["var"]
+    s = gamma * lax.rsqrt(var + eps)
+    return s, beta - mean * s
+
+
+def plf_params_from_variables(scale_params, scale_stats):
+    """Build the flat kernel parameter tuple for one ``PointLocalFeature``
+    scale from its flax param/batch_stats subtrees.
+
+    Tree layout (nn/blocks.py PointLocalFeature):
+      params: {w0, bn0, mlp: {dense_i, bn_i}, mlp2: {dense_i, bn_i}}
+      stats:  {bn0, mlp: {bn_i}, mlp2: {bn_i}}
+
+    Returns (first_chain_params, feat_w, mlp2_list) where
+      * ``feat_w`` is ``w0[3:]`` (the per-point feature transform),
+      * ``first_chain_params`` feeds :func:`fused_point_local_feature`,
+      * ``mlp2_list`` is [(w, s, b), ...] for the cheap per-point tail.
+    """
+    w0 = scale_params["w0"]
+    wrel, feat_w = w0[:3], w0[3:]
+
+    chain = [wrel]
+    chain += list(fold_bn_affine(scale_params["bn0"], scale_stats["bn0"]))
+
+    mlp_p = scale_params.get("mlp", {})
+    mlp_s = scale_stats.get("mlp", {})
+    for i in range(len([k for k in mlp_p if k.startswith("dense_")])):
+        chain.append(mlp_p[f"dense_{i}"]["kernel"])
+        chain += list(fold_bn_affine(mlp_p[f"bn_{i}"], mlp_s[f"bn_{i}"]))
+
+    mlp2 = []
+    p2, s2 = scale_params["mlp2"], scale_stats["mlp2"]
+    for i in range(len([k for k in p2 if k.startswith("dense_")])):
+        s, b = fold_bn_affine(p2[f"bn_{i}"], s2[f"bn_{i}"])
+        mlp2.append((p2[f"dense_{i}"]["kernel"], s, b))
+
+    return tuple(chain), feat_w, mlp2

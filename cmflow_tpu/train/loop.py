@@ -149,7 +149,8 @@ def evaluate_frames(
     clip starts and every ``update_len`` frames.
     """
     temporal = cfg.model == "cmflow_t"
-    eval_step = steplib.make_eval_step(cfg.model, model)
+    eval_step = steplib.make_eval_step(cfg.model, model,
+                                       fused=cfg.fused_inference)
     loader = BatchLoader(
         dataset, batch_size=1, shuffle=False, drop_last=False,
         pad_bucket=cfg.num_points, pad_multiple=cfg.eval_pad_multiple,

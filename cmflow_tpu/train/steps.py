@@ -198,32 +198,75 @@ def make_train_step_seq(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(model_name: str, model, mesh=None):
+def _use_fused_inference(fused: str) -> bool:
+    """Resolve the fused-inference setting: "auto" = Pallas path on TPU,
+    flax path elsewhere (the kernel only compiles for TPU)."""
+    if fused == "auto":
+        return jax.default_backend() == "tpu"
+    return fused in ("on", "true", "1", True)
+
+
+def make_eval_step(model_name: str, model, mesh=None,
+                   fused: str = "auto"):
     """Inference step returning (pred_f, pred_cls, pred_trans, pred_mask
-    [, gfeat]) in eval mode (main_util.py:139-142, clip_util.py:226-233)."""
+    [, gfeat]) in eval mode (main_util.py:139-142, clip_util.py:226-233).
+
+    With ``fused`` resolved true, cmflow/raflow run the Pallas fused
+    serving forward (models/inference.py) — parity-tested against
+    ``model.apply``."""
+    use_fused = _use_fused_inference(fused)
 
     def step(state: TrainState, batch: Batch, gfeat: Optional[Array] = None):
         v1 = batch.get("valid1")
         v2 = batch.get("valid2")
         variables = _vars(state)
         if model_name == "raflow":
-            _, sf_agg, pre_trans, mask_s = model.apply(
-                variables, batch["pc1"], batch["pc2"], batch["ft1"],
-                batch["ft2"], batch["interval"], False,
-                valid1=v1, valid2=v2,
-            )
+            if use_fused:
+                from cmflow_tpu.models.inference import raflow_infer
+
+                _, sf_agg, pre_trans, mask_s = raflow_infer(
+                    variables, batch["pc1"], batch["pc2"], batch["ft1"],
+                    batch["ft2"], batch["interval"], v1, v2,
+                    rigid_thres=model.rigid_thres,
+                    rigid_pcs=model.rigid_pcs, cfg=model.cfg,
+                )
+            else:
+                _, sf_agg, pre_trans, mask_s = model.apply(
+                    variables, batch["pc1"], batch["pc2"], batch["ft1"],
+                    batch["ft2"], batch["interval"], False,
+                    valid1=v1, valid2=v2,
+                )
             return sf_agg, mask_s.astype(jnp.float32), pre_trans, mask_s
         if model_name == "cmflow":
-            sf_agg, stat_cls, pre_trans, mask = model.apply(
-                variables, batch["pc1"], batch["pc2"], batch["ft1"],
-                batch["ft2"], None, False, valid1=v1, valid2=v2,
-            )
+            if use_fused:
+                from cmflow_tpu.models.inference import cmflow_infer
+
+                sf_agg, stat_cls, pre_trans, mask = cmflow_infer(
+                    variables, batch["pc1"], batch["pc2"], batch["ft1"],
+                    batch["ft2"], v1, v2,
+                    stat_thres=model.stat_thres, cfg=model.cfg,
+                )
+            else:
+                sf_agg, stat_cls, pre_trans, mask = model.apply(
+                    variables, batch["pc1"], batch["pc2"], batch["ft1"],
+                    batch["ft2"], None, False, valid1=v1, valid2=v2,
+                )
             return sf_agg, stat_cls, pre_trans, mask
         if model_name == "cmflow_t":
-            sf_agg, stat_cls, pre_trans, mask, gfeat_new = model.apply(
-                variables, batch["pc1"], batch["pc2"], batch["ft1"],
-                batch["ft2"], None, False, gfeat, valid1=v1, valid2=v2,
-            )
+            if use_fused:
+                from cmflow_tpu.models.inference import cmflow_t_infer
+
+                sf_agg, stat_cls, pre_trans, mask, gfeat_new = \
+                    cmflow_t_infer(
+                        variables, batch["pc1"], batch["pc2"], batch["ft1"],
+                        batch["ft2"], gfeat, v1, v2,
+                        stat_thres=model.stat_thres, cfg=model.cfg,
+                    )
+            else:
+                sf_agg, stat_cls, pre_trans, mask, gfeat_new = model.apply(
+                    variables, batch["pc1"], batch["pc2"], batch["ft1"],
+                    batch["ft2"], None, False, gfeat, valid1=v1, valid2=v2,
+                )
             return sf_agg, stat_cls, pre_trans, mask, gfeat_new
         raise ValueError(model_name)
 

@@ -35,6 +35,7 @@ class Config:
     num_workers: int = 8
     data_parallel: bool = True  # shard batch over all local devices
     compute_dtype: str = "float32"  # or "bfloat16" for the matmul-heavy path
+    fused_inference: str = "auto"  # Pallas fused eval: auto|on|off
     nan_check: bool = False  # jax_debug_nans toggle (SURVEY.md §5 sanitizers)
     profile_dir: Optional[str] = None  # jax.profiler trace output
 

@@ -1,0 +1,145 @@
+"""Parity tests for the Pallas fused inference path (interpret mode on the
+fake-CPU cluster; the kernel itself is exercised compiled on TPU by
+bench.py / the driver)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax.core import unfreeze
+
+from cmflow_tpu.models import build_model
+from cmflow_tpu.models.inference import cmflow_infer, raflow_infer
+from cmflow_tpu.nn.blocks import PointLocalFeature
+from cmflow_tpu.ops import pointops
+from cmflow_tpu.ops.fused import (
+    fused_point_local_feature,
+    plf_params_from_variables,
+)
+
+
+def _with_real_stats(model, args):
+    """Init + a train pass so BN running stats are non-trivial."""
+    v = unfreeze(model.init({"params": jax.random.PRNGKey(0)}, *args, True))
+    _, mut = model.apply(v, *args, True, mutable=["batch_stats"])
+    v["batch_stats"] = mut["batch_stats"]
+    return v
+
+
+class TestFusedKernel:
+    def test_point_local_feature_parity(self, rng):
+        b, n, k = 2, 128, 16
+        xyz = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        feats = jnp.asarray(rng.randn(b, n, 35).astype(np.float32))
+        mod = PointLocalFeature(radius=4.0, nsample=k,
+                                mlp=(64, 32, 32), mlp2=(32, 32, 32))
+        v = _with_real_stats(mod, (xyz, feats))
+        ref = np.asarray(mod.apply(v, xyz, feats, False))
+        assert np.abs(ref).max() > 1e-3  # non-degenerate
+
+        chain, feat_w, mlp2 = plf_params_from_variables(
+            v["params"], v["batch_stats"])
+        idx = pointops.ball_query(4.0, k, xyz, xyz)
+        rel = pointops.group_points(xyz, idx) - xyz[:, :, None, :]
+        feat_tx = jnp.einsum("bnc,cd->bnd", feats, feat_w)
+        h = fused_point_local_feature(feat_tx, idx, rel, chain,
+                                      interpret=True)
+        x = h
+        for w, s, bb in mlp2:
+            x = jnp.maximum((x @ w) * s + bb, 0.0)
+        np.testing.assert_allclose(np.asarray(x), ref, atol=1e-5)
+
+    def test_single_layer_chain(self, rng):
+        """mlp of length 1 (no trailing Dense layers) also works."""
+        b, n, k, c1 = 1, 64, 4, 16
+        feat_tx = jnp.asarray(rng.randn(b, n, c1).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
+        rel = jnp.asarray(rng.randn(b, n, k, 3).astype(np.float32))
+        wrel = jnp.asarray(rng.randn(3, c1).astype(np.float32))
+        s0 = jnp.asarray(np.abs(rng.randn(c1)).astype(np.float32))
+        b0 = jnp.asarray(rng.randn(c1).astype(np.float32))
+        got = fused_point_local_feature(
+            feat_tx, idx, rel, (wrel, s0, b0), interpret=True)
+
+        gathered = pointops.group_points(feat_tx, idx)
+        pre = gathered + jnp.einsum("bnkc,cd->bnkd", rel, wrel)
+        want = jnp.max(jax.nn.relu(pre * s0 + b0), axis=2)
+        # the kernel's hi/lo bf16 gather is exact to ~2^-16 relative
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestFusedInference:
+    def test_cmflow_infer_parity(self, rng):
+        b, n = 2, 128
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        model = build_model("cmflow")
+        v = _with_real_stats(model, (pc1, pc2, ft1, ft2, None))
+        ref = model.apply(v, pc1, pc2, ft1, ft2, None, False)
+        got = cmflow_infer(v, pc1, pc2, ft1, ft2, interpret=True)
+        for a, c in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                atol=1e-4)
+
+    def test_cmflow_infer_with_padding_mask(self, rng):
+        b, n = 2, 128
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        valid1 = jnp.asarray(np.arange(n) < 100)[None].repeat(b, 0)
+        valid2 = jnp.asarray(np.arange(n) < 90)[None].repeat(b, 0)
+        model = build_model("cmflow")
+        v = _with_real_stats(model, (pc1, pc2, ft1, ft2, None))
+        ref = model.apply(v, pc1, pc2, ft1, ft2, None, False,
+                          valid1, valid2)
+        got = cmflow_infer(v, pc1, pc2, ft1, ft2, valid1, valid2,
+                           interpret=True)
+        for a, c in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32)[:, :100],
+                np.asarray(c, np.float32)[:, :100], atol=1e-4)
+
+    def test_raflow_infer_parity(self, rng):
+        b, n = 2, 128
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        iv = jnp.full((b,), 0.1)
+        model = build_model("raflow")
+        v = _with_real_stats(model, (pc1, pc2, ft1, ft2, iv))
+        ref = model.apply(v, pc1, pc2, ft1, ft2, iv, False)
+        got = raflow_infer(v, pc1, pc2, ft1, ft2, iv, interpret=True)
+        for a, c in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                atol=1e-4)
+
+    def test_cmflow_t_infer_parity(self, rng):
+        from cmflow_tpu.models.inference import cmflow_t_infer
+
+        b, n = 2, 128
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        model = build_model("cmflow_t")
+        g0 = jnp.zeros((b, model.cfg.prop_width))
+        # CMFlowT.init/apply signature takes gfeat after the train flag
+        v = unfreeze(model.init({"params": jax.random.PRNGKey(0)},
+                                pc1, pc2, ft1, ft2, None, True, g0))
+        _, mut = model.apply(v, pc1, pc2, ft1, ft2, None, True, g0,
+                             mutable=["batch_stats"])
+        v["batch_stats"] = mut["batch_stats"]
+        ref = model.apply(v, pc1, pc2, ft1, ft2, None, False, g0)
+        got = cmflow_t_infer(v, pc1, pc2, ft1, ft2, g0, interpret=True)
+        for a, c in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                atol=1e-4)
