@@ -51,36 +51,25 @@ def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _weightnet(p, x):
-    for i in range(3):
-        d = p[f"dense_{i}"]
-        x = jnp.maximum(x @ d["kernel"] + d["bias"], 0.0)
-    return x
+def _cost_volume(p, xyz1, xyz2, f1, f2, valid1, valid2, k, interpret):
+    """FeatureCorrelator eval forward via the fused Pallas kernels."""
+    from cmflow_tpu.ops.fused import (cv_params_from_variables,
+                                      fused_cost_volume)
 
-
-def _cost_volume(p, xyz1, xyz2, f1, f2, valid1, valid2, k):
-    """FeatureCorrelator eval forward (factored first layer), plain jnp."""
     d1, d2 = f1.shape[-1], f2.shape[-1]
-    w0, b0 = p["w0"], p["b0"]
+    w0 = p["w0"]
 
     knn_idx = pointops.knn(k, xyz1, xyz2, valid2)
     dirs = pointops.group_points(xyz2, knn_idx) - xyz1[:, :, None, :]
+    knn1 = pointops.knn(k, xyz1, xyz1, valid1)
+    dirs1 = pointops.group_points(xyz1, knn1) - xyz1[:, :, None, :]
 
     f1t = jnp.einsum("bnc,cd->bnd", f1, w0[:d1])
     f2t = jnp.einsum("bnc,cd->bnd", f2, w0[d1:d1 + d2])
-    pre = (f1t[:, :, None, :] + pointops.group_points(f2t, knn_idx)
-           + jnp.einsum("bnkc,cd->bnkd", dirs, w0[d1 + d2:]) + b0)
-    x = jax.nn.leaky_relu(pre, 0.1)
-    for i in range(2):
-        d = p["mlp"][f"dense_{i}"]
-        x = jax.nn.leaky_relu(x @ d["kernel"] + d["bias"], 0.1)
 
-    point_to_patch = jnp.sum(_weightnet(p["weightnet1"], dirs) * x, axis=2)
-
-    knn1 = pointops.knn(k, xyz1, xyz1, valid1)
-    dirs1 = pointops.group_points(xyz1, knn1) - xyz1[:, :, None, :]
-    grouped = pointops.group_points(point_to_patch, knn1)
-    return jnp.sum(_weightnet(p["weightnet2"], dirs1) * grouped, axis=2)
+    dense, wn1, wn2 = cv_params_from_variables(p)
+    return fused_cost_volume(f1t, f2t, knn_idx, dirs, knn1, dirs1,
+                             interpret, dense=dense, wn1=wn1, wn2=wn2)
 
 
 def _head(p, s, x):
@@ -109,7 +98,7 @@ def _trunk(params, stats, cfg, pc1, pc2, ft1, ft2, valid1, valid2,
         [f2, jnp.broadcast_to(g2[:, None], (b, n2, g2.shape[-1]))], axis=-1)
 
     cor = _cost_volume(params["fc_layer"], pc1, pc2, f1, f2,
-                       valid1, valid2, cfg.fc_nsample)
+                       valid1, valid2, cfg.fc_nsample, interpret)
 
     emb = jnp.concatenate([ft1, f1, cor], axis=-1)
     return _mse_fused(params["mse_layer2"], stats["mse_layer2"],

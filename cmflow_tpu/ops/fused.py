@@ -156,6 +156,186 @@ def fused_point_local_feature(
     return out
 
 
+def _cv_kernel(f1t_ref, f2t_ref, idx_ref, dirs_ref, wd_ref, b0_ref,
+               w1_ref, b1_ref, w2_ref, b2_ref,
+               wn0_ref, wnb0_ref, wn1_ref, wnb1_ref, wn2_ref, wnb2_ref,
+               out_ref, *, nsample):
+    """Fused point-to-patch cost volume (FeatureCorrelator first half,
+    radarflow_util.py:185-214): per neighbor k — one-hot gather of the
+    transformed frame-2 features, LeakyReLU(0.1) dense chain, WeightNet
+    from the offset, weighted accumulation.  All in VMEM."""
+    n2 = f2t_ref.shape[1]
+    t = idx_ref.shape[2]
+    c = f1t_ref.shape[2]
+
+    cols = lax.broadcasted_iota(jnp.int32, (t, n2), dimension=1)
+    f1t = f1t_ref[0]
+    f2 = f2t_ref[0]
+    f2_hi = f2.astype(jnp.bfloat16)
+    f2_lo = (f2 - f2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def body(kk, acc):
+        idx_k = idx_ref[0, kk]  # [T, 1]
+        onehot = (cols == idx_k).astype(jnp.bfloat16)
+        g = (jnp.dot(onehot, f2_hi, preferred_element_type=jnp.float32)
+             + jnp.dot(onehot, f2_lo, preferred_element_type=jnp.float32))
+        d_k = dirs_ref[0, kk]  # [T, 3]
+        x = f1t + g + jnp.dot(d_k, wd_ref[:],
+                              preferred_element_type=jnp.float32) + b0_ref[:]
+        x = jnp.where(x > 0, x, 0.1 * x)
+        x = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) \
+            + b1_ref[:]
+        x = jnp.where(x > 0, x, 0.1 * x)
+        x = jnp.dot(x, w2_ref[:], preferred_element_type=jnp.float32) \
+            + b2_ref[:]
+        x = jnp.where(x > 0, x, 0.1 * x)
+
+        # WeightNet(3 -> 8 -> 8 -> C), ReLU (radarflow_util.py:287-318)
+        w = jnp.maximum(jnp.dot(d_k, wn0_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + wnb0_ref[:], 0.0)
+        w = jnp.maximum(jnp.dot(w, wn1_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + wnb1_ref[:], 0.0)
+        w = jnp.maximum(jnp.dot(w, wn2_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + wnb2_ref[:], 0.0)
+        return acc + w * x
+
+    init = jnp.zeros((t, c), jnp.float32)
+    out_ref[0] = lax.fori_loop(0, nsample, body, init)
+
+
+def _cv_agg_kernel(p2p_ref, idx_ref, dirs_ref,
+                   wn0_ref, wnb0_ref, wn1_ref, wnb1_ref, wn2_ref, wnb2_ref,
+                   out_ref, *, nsample):
+    """Fused patch-to-patch aggregation (FeatureCorrelator second half,
+    radarflow_util.py:216-237): gather the point-to-patch costs over
+    frame-1 neighborhoods and WeightNet-weighted-sum them."""
+    n = p2p_ref.shape[1]
+    t = idx_ref.shape[2]
+    c = p2p_ref.shape[2]
+
+    cols = lax.broadcasted_iota(jnp.int32, (t, n), dimension=1)
+    p2p = p2p_ref[0]
+    hi = p2p.astype(jnp.bfloat16)
+    lo = (p2p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def body(kk, acc):
+        idx_k = idx_ref[0, kk]
+        onehot = (cols == idx_k).astype(jnp.bfloat16)
+        g = (jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+             + jnp.dot(onehot, lo, preferred_element_type=jnp.float32))
+        d_k = dirs_ref[0, kk]
+        w = jnp.maximum(jnp.dot(d_k, wn0_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + wnb0_ref[:], 0.0)
+        w = jnp.maximum(jnp.dot(w, wn1_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + wnb1_ref[:], 0.0)
+        w = jnp.maximum(jnp.dot(w, wn2_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + wnb2_ref[:], 0.0)
+        return acc + w * g
+
+    init = jnp.zeros((t, c), jnp.float32)
+    out_ref[0] = lax.fori_loop(0, nsample, body, init)
+
+
+def _km(idx: Array, rel: Array) -> Tuple[Array, Array]:
+    """k-major layouts for the kernels' K loop."""
+    return (jnp.swapaxes(idx, 1, 2)[..., None],
+            jnp.transpose(rel, (0, 2, 1, 3)))
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def fused_cost_volume(
+    f1t: Array,
+    f2t: Array,
+    idx2: Array,
+    dirs: Array,
+    idx1: Array,
+    dirs1: Array,
+    interpret: bool = False,
+    *,
+    dense: Tuple[Array, ...] = (),
+    wn1: Tuple[Array, ...] = (),
+    wn2: Tuple[Array, ...] = (),
+) -> Array:
+    """Fused FeatureCorrelator eval forward.
+
+    Args:
+      f1t / f2t: ``[B, N, C]`` per-point transformed features
+        (``f @ w0[:d1]`` / ``f @ w0[d1:d1+d2]``).
+      idx2 / dirs: frame-2 k-NN indices ``[B, N, K]`` and offsets
+        ``[B, N, K, 3]``.
+      idx1 / dirs1: frame-1 (self) k-NN indices/offsets.
+      dense: ``(wd, b0, w1, b1, w2, b2)`` — offset part of the factored
+        first correlation layer + the two LeakyReLU dense layers.
+      wn1 / wn2: WeightNet params ``(w0, b0, w1, b1, w2, b2)`` each.
+
+    Returns:
+      ``[B, N, C]`` aggregated cost volume.
+    """
+    b, n, c = f1t.shape
+    k = idx2.shape[2]
+
+    idx2_km, dirs_km = _km(idx2, dirs)
+    idx1_km, dirs1_km = _km(idx1, dirs1)
+
+    def specs(shapes):
+        out = []
+        for nd in shapes:
+            out.append(pl.BlockSpec(nd, (lambda bi, _n=len(nd): (0,) * _n),
+                                    memory_space=pltpu.VMEM))
+        return out
+
+    full3 = pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, k, n, 1), lambda bi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dir_spec = pl.BlockSpec((1, k, n, 3), lambda bi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    p2p = pl.pallas_call(
+        functools.partial(_cv_kernel, nsample=k),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        grid=(b,),
+        in_specs=[full3, full3, idx_spec, dir_spec]
+        + specs([p.shape for p in dense])
+        + specs([p.shape for p in wn1]),
+        out_specs=full3,
+        interpret=interpret,
+    )(f1t, f2t, idx2_km, dirs_km, *dense, *wn1)
+
+    return pl.pallas_call(
+        functools.partial(_cv_agg_kernel, nsample=k),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        grid=(b,),
+        in_specs=[full3, idx_spec, dir_spec]
+        + specs([p.shape for p in wn2]),
+        out_specs=full3,
+        interpret=interpret,
+    )(p2p, idx1_km, dirs1_km, *wn2)
+
+
+def cv_params_from_variables(fc_params):
+    """Build (dense, wn1, wn2) kernel tuples from the FeatureCorrelator
+    param subtree (w0 split into feature/offset blocks by the caller)."""
+    p = fc_params
+    d_off = p["w0"].shape[0] - 3
+    dense = (p["w0"][d_off:], p["b0"],
+             p["mlp"]["dense_0"]["kernel"], p["mlp"]["dense_0"]["bias"],
+             p["mlp"]["dense_1"]["kernel"], p["mlp"]["dense_1"]["bias"])
+
+    def wn(q):
+        return (q["dense_0"]["kernel"], q["dense_0"]["bias"],
+                q["dense_1"]["kernel"], q["dense_1"]["bias"],
+                q["dense_2"]["kernel"], q["dense_2"]["bias"])
+
+    return dense, wn(p["weightnet1"]), wn(p["weightnet2"])
+
+
 def fold_bn_affine(bn_params, bn_stats, eps: float = 1e-5):
     """Fold eval-mode BatchNorm into per-channel (scale, bias).
 
