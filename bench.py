@@ -296,11 +296,13 @@ def bench_torch_cpu(b, n):
 
 def main():
     tpu_fps = bench_tpu_eval(BATCH, N_POINTS)
-    try:
-        unfused_fps = bench_tpu_eval(BATCH, N_POINTS, fused=False)
-    except Exception as e:
-        log(f"unfused eval bench failed: {e}")
-        unfused_fps = None
+    # the unfused path costs a second ~10-min remote compile; opt-in
+    unfused_fps = None
+    if os.environ.get("BENCH_UNFUSED"):
+        try:
+            unfused_fps = bench_tpu_eval(BATCH, N_POINTS, fused=False)
+        except Exception as e:
+            log(f"unfused eval bench failed: {e}")
     try:
         train_fps = bench_tpu_train(BATCH, N_POINTS)
     except Exception as e:  # train bench is secondary — never sink the run
