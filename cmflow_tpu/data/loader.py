@@ -88,22 +88,36 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [
-                    pool.submit(self._make_batch, list(b)) for b in batches
-                ]
-                for f in futures:
-                    if stop.is_set():
-                        return
-                    q.put(f.result())
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    # bounded in-flight window: keeps decoded-batch memory
+                    # at O(workers + prefetch), not O(epoch)
+                    window = self.num_workers + self.prefetch
+                    pending = []
+                    it = iter(batches)
+                    for b in it:
+                        pending.append(pool.submit(self._make_batch, list(b)))
+                        if len(pending) < window:
+                            continue
+                        if stop.is_set():
+                            return
+                        q.put(("item", pending.pop(0).result()))
+                    for f in pending:
+                        if stop.is_set():
+                            return
+                        q.put(("item", f.result()))
+                q.put(("done", None))
+            except BaseException as e:  # forward to the consumer; a dead
+                q.put(("error", e))     # producer must never strand q.get()
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
-                if item is None:
+                kind, item = q.get()
+                if kind == "error":
+                    raise item
+                if kind == "done":
                     break
                 yield item
         finally:

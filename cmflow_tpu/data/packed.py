@@ -20,7 +20,6 @@ Format (little-endian):
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Dict, List, Optional
 
@@ -35,24 +34,10 @@ from cmflow_tpu.data.vod import (
     _list_clips,
     _list_samples,
     _sample_indices,
+    load_sample_file,
 )
 
 MAGIC = b"CMFPACK1"
-
-
-def _load_raw(path: str) -> Dict:
-    """Raw sample dict via the native codec when available, python json
-    otherwise."""
-    try:
-        from cmflow_tpu import native
-
-        parsed = native.parse_sample_file(path)
-        if parsed is not None:
-            return parsed
-    except Exception:
-        pass
-    with open(path, "rb") as f:
-        return json.load(f)
 
 
 def _np(x, dtype=np.float32):
@@ -72,12 +57,14 @@ def pack_split(json_root: str, partition: str, out_path: str,
         out.write(np.int64(0).tobytes())  # patched at the end
 
         for clip in _list_clips(root):
+            if clip[:5] != "delft":  # same filter as VodDataset
+                continue
             paths = _list_samples(os.path.join(root, clip))
             clips_info.append(
                 {"clip_name": clip,
                  "index": [n_written, n_written + len(paths)]})
             for p in paths:
-                raw = _load_raw(p)
+                raw = load_sample_file(p)
                 pc1 = _np(raw["pc1"])
                 pc2 = _np(raw["pc2"])
                 opt = raw.get("opt_info") or {}

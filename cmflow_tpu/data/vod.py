@@ -164,14 +164,19 @@ class VodDataset:
         self.samples: List[str] = []
         self.clips_info: List[Dict] = []
         for clip in _list_clips(self.root):
+            # the reference appends clips_info for *every* clip but samples
+            # only for delft_* ones (dataset/vod.py:39-45) — consistent on
+            # real VoD (all clips are delft_*) but a latent index desync;
+            # filter both so clips_info ranges always match self.samples
+            if clip[:5] != "delft":
+                continue
             samples = _list_samples(os.path.join(self.root, clip))
             if eval_mode:
                 self.clips_info.append({
                     "clip_name": clip,
                     "index": [len(self.samples), len(self.samples) + len(samples)],
                 })
-            if clip[:5] == "delft":
-                self.samples.extend(samples)
+            self.samples.extend(samples)
         log(f"{partition} : {len(self.samples)}")
 
     def __len__(self) -> int:

@@ -180,7 +180,12 @@ def corr_lookup(pyramid: Sequence[Array], coords: Array,
     b, h1, w1, _ = coords.shape
     r = radius
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    delta = jnp.stack(jnp.meshgrid(dx, dx, indexing="xy"), axis=-1)
+    # channel order must match torch RAFT (corr.py:37-44):
+    # delta = stack(meshgrid(dy, dx)) with torch's 'ij' indexing adds
+    # (v_i, v_j) to (x, y) — flat channel k = i*(2r+1)+j <-> offset
+    # (xoff=v_i, yoff=v_j); 'xy' indexing would transpose the window and
+    # scramble converted raft-small.pth correlation channels
+    delta = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij"), axis=-1)
     delta = delta.reshape(-1, 2)  # [(2r+1)^2, 2]
 
     outs = []
@@ -195,9 +200,33 @@ def corr_lookup(pyramid: Sequence[Array], coords: Array,
 
 
 def upflow8(flow: Array) -> Array:
-    """8x bilinear upsample with 8x magnitude (raft.py upflow8)."""
+    """8x bilinear upsample with 8x magnitude (utils/utils.py:82-84).
+
+    torch uses ``align_corners=True`` — src = dst * (h-1)/(H-1) — while
+    ``jax.image.resize`` only offers the half-pixel convention, so the
+    interpolation is spelled out with explicit gathers."""
     b, h, w, _ = flow.shape
-    up = jax.image.resize(flow, (b, 8 * h, 8 * w, 2), "bilinear")
+    hh, ww = 8 * h, 8 * w
+
+    def axis_weights(src_len, dst_len):
+        pos = jnp.arange(dst_len, dtype=jnp.float32) * (
+            (src_len - 1) / (dst_len - 1))
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, src_len - 2)
+        frac = pos - i0.astype(jnp.float32)
+        return i0, frac
+
+    y0, fy = axis_weights(h, hh)
+    x0, fx = axis_weights(w, ww)
+
+    fy0 = jnp.take(flow, y0, axis=1)
+    fy1 = jnp.take(flow, y0 + 1, axis=1)
+    rows = fy0 * (1.0 - fy[None, :, None, None]) \
+        + fy1 * fy[None, :, None, None]
+    cx0 = jnp.take(rows, x0, axis=2)
+    cx1 = jnp.take(rows, x0 + 1, axis=2)
+    up = cx0 * (1.0 - fx[None, None, :, None]) \
+        + cx1 * fx[None, None, :, None]
     return 8.0 * up
 
 

@@ -68,14 +68,20 @@ def build_sample(
 
     radar1_radar2 = ego_transform(tf1, tf2)
 
-    # camera modality (train only, get_flow_samples.py:91-102)
-    if mode == "train" and opt_provider is not None:
-        flow_img = opt_provider(data1.image, data2.image)
+    # camera modality (train only, get_flow_samples.py:91-102).  Train
+    # samples must always carry per-point opt_info (the train-mode reader
+    # indexes it, data/vod.py); without a provider the flow targets are
+    # zero — the camera modality is simply uninformative, not unreadable.
+    if mode == "train":
         h = np.concatenate(
             [radar1[:, 0:3], np.ones((len(radar1), 1))], axis=1)
         cam = vod_io.homogeneous_transformation(h, tf1.t_camera_radar)
         uvs = vod_io.project_3d_to_2d(cam, proj)
-        radar_opt = flow_img[uvs[:, 1] - 1, uvs[:, 0] - 1]
+        if opt_provider is not None:
+            flow_img = opt_provider(data1.image, data2.image)
+            radar_opt = flow_img[uvs[:, 1] - 1, uvs[:, 0] - 1]
+        else:
+            radar_opt = np.zeros((len(radar1), 2), np.float32)
         opt_info = {
             "radar_u": uvs[:, 0].astype(float).tolist(),
             "radar_v": uvs[:, 1].astype(float).tolist(),

@@ -119,13 +119,6 @@ def init_model_state(cfg: Config, model, mesh, batch_example) -> TrainState:
     return state
 
 
-def _first_frame(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Slice frame 0 of a clip batch [B, T, ...] -> [B, ...]."""
-    return {
-        k: (v[:, 0] if v.ndim > 1 else v) for k, v in batch.items()
-    }
-
-
 def _to_device(batch, mesh):
     arrs = {k: jnp.asarray(v) for k, v in batch.items()}
     if mesh is not None:
@@ -173,25 +166,25 @@ def evaluate_frames(
             clip_of_frame[i] = ci["clip_name"]
 
     gfeat = None
-    gt_trans_all, pre_trans_all = [], []
-
     for i, batch in enumerate(loader):
         dev = _to_device(batch, None)
         t0 = time.perf_counter()
         if temporal:
             reset = (i in clip_starts) or (i % cfg.update_len == 0)
-            if reset or gfeat is None or gfeat.shape[1] != dev["pc1"].shape[0]:
+            if reset or gfeat is None or gfeat.shape[0] != dev["pc1"].shape[0]:
                 gfeat = jnp.zeros((dev["pc1"].shape[0], model.cfg.prop_width))
             pred_f, pred_cls, pred_t, pred_m, gfeat = eval_step(
                 state, dev, gfeat)
         else:
             pred_f, pred_cls, pred_t, pred_m = eval_step(state, dev)
-        jax.block_until_ready(pred_f)
-        infer_time += time.perf_counter() - t0
 
+        # a value fetch is the only true device sync on tunneled runtimes
+        # (block_until_ready can return early — see CLAUDE.md), so time
+        # through the host conversion of the outputs
         pred_f = np.asarray(pred_f)
         pred_m = np.asarray(pred_m)
         pred_t = np.asarray(pred_t)
+        infer_time += time.perf_counter() - t0
 
         for bi in range(pred_f.shape[0]):
             nv = int(batch["valid1"][bi].sum())
@@ -213,9 +206,6 @@ def evaluate_frames(
                                      pred_t[bi][None])
             for k in pose_metric:
                 pose_metric[k] += pose[k]
-
-            gt_trans_all.append(batch["trans"][bi])
-            pre_trans_all.append(pred_t[bi])
 
             if save_res_dir is not None:
                 clip = clip_of_frame.get(num_pcs, "clip_0")

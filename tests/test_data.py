@@ -143,3 +143,22 @@ class TestLoader:
                         log=lambda *a: None)
         with pytest.raises(ValueError):
             pad_to(ds[0], 8)
+
+
+class TestLoaderErrorHandling:
+    def test_decode_error_propagates_not_hangs(self):
+        from cmflow_tpu.data.loader import BatchLoader
+
+        class Broken:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 3:
+                    raise ValueError("corrupt sample")
+                return {"pc1": np.zeros((4, 3), np.float32)}
+
+        loader = BatchLoader(Broken(), batch_size=2, num_workers=2)
+        with pytest.raises(ValueError, match="corrupt sample"):
+            for _ in loader:
+                pass

@@ -156,8 +156,8 @@ class TestMxuGroupPoints:
         idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
         want = jax.vmap(lambda p, i: p[i])(pts, idx)
         got = mxu_group_points(pts, idx, True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-4, atol=1e-4)
+        # forward is the plain XLA gather — bit-exact
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     def test_backward_matches_scatter(self, rng):
         from cmflow_tpu.ops.fused import mxu_group_points

@@ -137,3 +137,75 @@ class TestVis:
         plot_seg_bev(pc, seg, p2)
         assert os.path.getsize(p1) > 1000
         assert os.path.getsize(p2) > 1000
+
+
+class TestTemporalEvalCarry:
+    def test_gru_carry_propagates_within_clip(self, rng):
+        """Regression: the eval GRU reset guard once compared prop_width to
+        the batch size (always true), silently zeroing the carry every
+        frame.  With identical frames in one clip, a propagating carry
+        makes frame 2's prediction differ from frame 1's."""
+        import jax.numpy as jnp
+
+        from cmflow_tpu.models import build_model
+        from cmflow_tpu.train.loop import evaluate_frames, init_model_state
+        from cmflow_tpu.utils.config import Config
+        from cmflow_tpu.utils.logging import IOStream
+
+        n = 64
+        frame = {
+            "pc1": rng.randn(n, 3).astype(np.float32) * 5,
+            "pc2": rng.randn(n, 3).astype(np.float32) * 5,
+            "ft1": rng.randn(n, 3).astype(np.float32),
+            "ft2": rng.randn(n, 3).astype(np.float32),
+            "trans": np.eye(4, dtype=np.float32),
+            "labels": np.zeros((n, 3), np.float32),
+            "mask": np.ones(n, np.float32),
+            "interval": np.float32(0.1),
+            "radar_u": np.zeros(n, np.float32),
+            "radar_v": np.zeros(n, np.float32),
+            "opt_flow": np.zeros((n, 2), np.float32),
+            "valid1": np.ones(n, bool),
+            "valid2": np.ones(n, bool),
+        }
+
+        class SameFrameClips:
+            clips_info = [{"clip_name": "delft_1", "index": [0, 3]}]
+            res = {"r_res": 0.2, "theta_res": 1.5 * np.pi / 180,
+                   "phi_res": 1.5 * np.pi / 180}
+
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                return {k: v.copy() if hasattr(v, "copy") else v
+                        for k, v in frame.items()}
+
+        cfg = Config(exp_name="t", model="cmflow_t", num_points=n,
+                     num_workers=0, eval_pad_multiple=n, update_len=5)
+        model = build_model("cmflow_t")
+        example = {k: jnp.asarray(v)[None] for k, v in frame.items()
+                   if k not in ("valid1", "valid2")}
+        example["_steps_per_epoch"] = None
+        state = init_model_state(cfg, model, None, example)
+
+        preds = []
+        ds = SameFrameClips()
+
+        # capture per-frame flow predictions via save_res
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            evaluate_frames(cfg, model, state, ds,
+                            IOStream(os.path.join(td, "log")),
+                            save_res_dir=td)
+            import json as js
+
+            for i in range(3):
+                with open(os.path.join(td, "delft_1", f"{i}.json")) as f:
+                    preds.append(np.asarray(js.load(f)["pred_f"]))
+
+        # frame 0 starts with a zero carry; frames 1/2 must see a non-zero
+        # carry and therefore differ from frame 0's prediction
+        assert not np.allclose(preds[0], preds[1]), \
+            "GRU carry is being reset every frame"
