@@ -53,7 +53,18 @@ VOD_INTERVAL = 0.10  # seconds between frames (dataset/vod.py:29)
 
 
 def _list_clips(root: str) -> List[str]:
-    return sorted(os.listdir(root), key=lambda x: int(x.split("_")[1]))
+    """Clip directories in numeric order, skipping entries that are not
+    ``name_N`` directories (a stray file or oddly named dir must not crash
+    listing — dataset/vod.py:38 sorts blindly and would)."""
+    clips = []
+    for entry in os.listdir(root):
+        if not os.path.isdir(os.path.join(root, entry)):
+            continue
+        parts = entry.split("_")
+        if len(parts) < 2 or not parts[-1].isdigit():
+            continue
+        clips.append(entry)
+    return sorted(clips, key=lambda x: int(x.split("_")[-1]))
 
 
 def _list_samples(clip_path: str) -> List[str]:
@@ -225,6 +236,11 @@ class VodClipDataset:
         self.mini_samples: List[List[str]] = []
         self.clips_info: List[Dict] = []
         for clip in _list_clips(self.root):
+            # same delft_* filter as VodDataset — the reference's clip
+            # dataset has the identical clips_info/samples desync on
+            # non-delft clips (dataset/vod_clip.py:30-64)
+            if clip[:5] != "delft":
+                continue
             samples = _list_samples(os.path.join(self.root, clip))
             if eval_mode:
                 self.clips_info.append({

@@ -50,8 +50,12 @@ class BottleneckBlock(nn.Module):
     def __call__(self, x: Array) -> Array:
         q = self.planes // 4
         y = nn.relu(self._norm(nn.Conv(q, (1, 1), name="conv1")(x)))
+        # explicit symmetric padding: XLA SAME pads (0, 1) for a strided
+        # 3x3 on even inputs where torch's padding=1 pads (1, 1)
+        # (extractor.py:65)
         y = nn.relu(self._norm(
-            nn.Conv(q, (3, 3), strides=self.stride, name="conv2")(y)))
+            nn.Conv(q, (3, 3), strides=self.stride,
+                    padding=((1, 1), (1, 1)), name="conv2")(y)))
         y = nn.relu(self._norm(nn.Conv(self.planes, (1, 1), name="conv3")(y)))
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = self._norm(nn.Conv(self.planes, (1, 1), strides=self.stride,
@@ -66,7 +70,10 @@ class SmallEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         f = instance_norm if self.norm == "instance" else (lambda a: a)
-        x = nn.relu(f(nn.Conv(32, (7, 7), strides=2, name="conv1")(x)))
+        # torch pads the strided 7x7 symmetrically (3, 3); XLA SAME would
+        # pad (2, 3) on even inputs (extractor.py:212)
+        x = nn.relu(f(nn.Conv(32, (7, 7), strides=2,
+                              padding=((3, 3), (3, 3)), name="conv1")(x)))
         for i, (planes, stride) in enumerate(
                 [(32, 1), (32, 1), (64, 2), (64, 1), (96, 2), (96, 1)]):
             x = BottleneckBlock(planes, stride, self.norm,

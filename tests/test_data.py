@@ -112,6 +112,34 @@ class TestVodReader:
         assert len(ds) == 4
         assert len(ds.clips_info) == 2
 
+    def test_mixed_name_root_filtered_consistently(self, synth_root,
+                                                   tmp_path):
+        """A stray non-delft clip dir (and a stray file) in the split root
+        must not desync clips_info from samples nor crash listing — the
+        reference's latent bug (dataset/vod.py:39-45, vod_clip.py:30-64)."""
+        import os
+        import shutil
+
+        root = tmp_path / "mixed"
+        shutil.copytree(os.path.join(synth_root, "test"),
+                        str(root / "test"))
+        stray = root / "test" / "other_99"
+        stray.mkdir()
+        # give the stray clip real-looking samples so a missing filter
+        # would pick them up
+        src = next(
+            (root / "test").glob("delft_*/[0-9]*_[0-9]*.json"))
+        shutil.copy(str(src), str(stray / "0_1.json"))
+        (root / "test" / "notes.txt").write_text("not a clip")
+        (root / "test" / "badname").mkdir()
+
+        for cls in (VodDataset, VodClipDataset):
+            ds = cls(str(root), "test", eval_mode=True, log=lambda *a: None)
+            assert len(ds) == 4
+            assert len(ds.clips_info) == 2
+            assert ds.clips_info[-1]["index"][1] == len(ds.samples)
+            assert all("delft" in s for s in ds.samples)
+
 
 class TestLoader:
     def test_batching_and_padding(self, synth_root):

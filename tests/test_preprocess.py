@@ -234,6 +234,60 @@ class TestRaftPort:
         # identical images with zero-flow init: flow stays small
         assert np.isfinite(np.asarray(flow)).all()
 
+    def test_matches_vendored_torch_raft(self, tmp_path):
+        """Numeric parity with the reference's torch RAFT-small
+        (preprocess/utils/RAFT/core/raft.py:86-143, corr.py:12-61): random
+        torch weights -> load_torch_raft_small conversion -> same final
+        flow.  Fails if corr channel order, strided-conv padding, upflow8
+        interpolation, or the GRU input layout drift."""
+        import argparse
+        import sys
+
+        import jax
+        import torch
+
+        from cmflow_tpu.models.raft import RaftSmall, load_torch_raft_small
+
+        # import `core` directly — utils/__init__.py pulls in the whole
+        # vod devkit, which needs its own sys.path arrangement
+        ref = "/root/reference/preprocess/utils/RAFT"
+        if not os.path.isdir(os.path.join(ref, "core")):
+            pytest.skip("vendored torch RAFT not available")
+        sys.path.insert(0, ref)
+        try:
+            from core.raft import RAFT as TorchRAFT
+        finally:
+            sys.path.remove(ref)
+
+        torch.manual_seed(0)
+        args = argparse.Namespace(small=True, mixed_precision=False,
+                                  alternate_corr=False, dropout=0.0)
+        tmodel = TorchRAFT(args).eval()
+        pth = str(tmp_path / "raft-rand.pth")
+        torch.save(tmodel.state_dict(), pth)
+
+        rng = np.random.RandomState(0)
+        # H, W >= 128: smaller images make pyramid level 3 degenerate to
+        # 1x1, where torch's bilinear_sampler divides by (W-1)=0 and NaNs
+        # (a latent reference bug real 1216x1936 images never hit)
+        h, w, iters = 128, 160, 6
+        img1 = rng.randint(0, 255, (1, h, w, 3)).astype(np.float32)
+        img2 = rng.randint(0, 255, (1, h, w, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            tflow = tmodel(
+                torch.from_numpy(img1).permute(0, 3, 1, 2),
+                torch.from_numpy(img2).permute(0, 3, 1, 2), iters=iters)
+        tflow = tflow.permute(0, 2, 3, 1).numpy()
+
+        params = load_torch_raft_small(pth)
+        jflow = np.asarray(RaftSmall().apply(
+            {"params": params}, img1, img2, iters=iters))
+
+        assert jflow.shape == tflow.shape
+        err = np.abs(jflow - tflow).max()
+        assert err < 1e-2, f"max |flow diff| {err}"
+
     def test_bilinear_sample_exact_on_grid(self):
         import jax.numpy as jnp
 
