@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from cmflow_tpu.geometry import se3
 from cmflow_tpu.models.backbone import BackboneConfig
@@ -35,23 +36,70 @@ from cmflow_tpu.ops.fused import (
 Array = jax.Array
 
 
-def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret):
-    """MultiScaleEncoder via the fused kernel (+ plain-jnp mlp2 tail)."""
+def _cast_chain(chain, dtype):
+    """Cast the matmul weights of a PLF chain tuple (wrel + dense kernels)
+    to ``dtype``; BN affine scale/bias stay f32 (applied post-accumulate)."""
+    out = list(chain)
+    for i in range(0, len(out), 3):
+        out[i] = out[i].astype(dtype)
+    return tuple(out)
+
+
+def _dot32(x, w, dtype):
+    """Matmul in ``dtype`` with f32 accumulation.
+
+    Leading dims are flattened to keep this a plain 2-D matmul: the TPU
+    backend lowers some batched 3-D dots through SpatialMajorConvolution,
+    whose fusion cost model hard-crashes (SIGABRT in fusion_util.cc
+    TransformWindow) on bf16 [64,256,256]-class shapes."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = jnp.dot(x2.astype(dtype), w.astype(dtype),
+                  preferred_element_type=jnp.float32)
+    return out.reshape(*lead, w.shape[-1])
+
+
+def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
+               dtype=jnp.float32):
+    """MultiScaleEncoder via the fused kernels (+ plain-jnp mlp2 tail).
+
+    Narrow encoders (per-scale width < 128, i.e. the sa encoder) run all
+    scales in ONE block-diagonally packed kernel at full MXU width; wide
+    encoders (the propagation encoder, C1=512) keep per-scale kernels."""
+    first_w0 = params["scale_0"]["w0"]
+    narrow = first_w0.shape[1] < 128
+    if narrow:
+        from cmflow_tpu.ops.fused import (fused_multi_scale_encoder,
+                                          mse_narrow_params_from_variables)
+
+        packed, mlp2_bd = mse_narrow_params_from_variables(
+            params, stats, len(radii), dtype)
+        idx_list = [pointops.ball_query(r, k, xyz, xyz, valid)
+                    for r, k in zip(radii, nsamples)]
+        out_each = packed[-1].shape[-1] // len(radii)
+        h = fused_multi_scale_encoder(
+            feats.astype(dtype), idx_list, xyz, packed,
+            tuple(nsamples), interpret, out_each)
+        for w, s, b in mlp2_bd:
+            h = jnp.maximum(_dot32(h, w, dtype) * s + b, 0.0)
+        return h
+
     outs = []
     for i, (r, k) in enumerate(zip(radii, nsamples)):
         sp, ss = params[f"scale_{i}"], stats[f"scale_{i}"]
         chain, feat_w, mlp2 = plf_params_from_variables(sp, ss)
+        chain = _cast_chain(chain, dtype)
         idx = pointops.ball_query(r, k, xyz, xyz, valid)
-        rel = pointops.group_points(xyz, idx) - xyz[:, :, None, :]
-        feat_tx = jnp.einsum("bnc,cd->bnd", feats, feat_w)
-        h = fused_point_local_feature(feat_tx, idx, rel, chain, interpret)
+        feat_tx = _dot32(feats, feat_w, dtype).astype(dtype)
+        h = fused_point_local_feature(feat_tx, idx, xyz, chain, interpret)
         for w, s, b in mlp2:
-            h = jnp.maximum((h @ w) * s + b, 0.0)
+            h = jnp.maximum(_dot32(h, w, dtype) * s + b, 0.0)
         outs.append(h)
     return jnp.concatenate(outs, axis=-1)
 
 
-def _cost_volume(p, xyz1, xyz2, f1, f2, valid1, valid2, k, interpret):
+def _cost_volume(p, xyz1, xyz2, f1, f2, valid1, valid2, k, interpret,
+                 dtype=jnp.float32):
     """FeatureCorrelator eval forward via the fused Pallas kernels."""
     from cmflow_tpu.ops.fused import (cv_params_from_variables,
                                       fused_cost_volume)
@@ -60,33 +108,37 @@ def _cost_volume(p, xyz1, xyz2, f1, f2, valid1, valid2, k, interpret):
     w0 = p["w0"]
 
     knn_idx = pointops.knn(k, xyz1, xyz2, valid2)
-    dirs = pointops.group_points(xyz2, knn_idx) - xyz1[:, :, None, :]
     knn1 = pointops.knn(k, xyz1, xyz1, valid1)
-    dirs1 = pointops.group_points(xyz1, knn1) - xyz1[:, :, None, :]
 
-    f1t = jnp.einsum("bnc,cd->bnd", f1, w0[:d1])
-    f2t = jnp.einsum("bnc,cd->bnd", f2, w0[d1:d1 + d2])
+    f1t = _dot32(f1, w0[:d1], dtype).astype(dtype)
+    f2t = _dot32(f2, w0[d1:d1 + d2], dtype).astype(dtype)
 
     dense, wn1, wn2 = cv_params_from_variables(p)
-    return fused_cost_volume(f1t, f2t, knn_idx, dirs, knn1, dirs1,
+    # dense chain weights (wd, w1, w2 at even slots) in compute dtype;
+    # biases and the tiny WeightNets stay f32
+    dense = tuple(d.astype(dtype) if i % 2 == 0 else d
+                  for i, d in enumerate(dense))
+    return fused_cost_volume(f1t, f2t, knn_idx, xyz1, knn1, xyz2,
                              interpret, dense=dense, wn1=wn1, wn2=wn2)
 
 
-def _head(p, s, x):
+def _head(p, s, x, dtype=jnp.float32):
     """FlowHead / MotionHead mlp chain + final Dense (eval BN affine)."""
     for i in range(3):
         sc, bi = fold_bn_affine(p["mlp"][f"bn_{i}"], s["mlp"][f"bn_{i}"])
-        x = jnp.maximum((x @ p["mlp"][f"dense_{i}"]["kernel"]) * sc + bi, 0.0)
-    return x @ p["out"]["kernel"]
+        x = jnp.maximum(
+            _dot32(x, p["mlp"][f"dense_{i}"]["kernel"], dtype) * sc + bi,
+            0.0)
+    return _dot32(x, p["out"]["kernel"], dtype)
 
 
 def _trunk(params, stats, cfg, pc1, pc2, ft1, ft2, valid1, valid2,
-           interpret):
+           interpret, dtype=jnp.float32):
     mse_p, mse_s = params["mse_layer"], stats["mse_layer"]
     f1 = _mse_fused(mse_p, mse_s, cfg.sa_radii, cfg.sa_nsamples,
-                    pc1, ft1, valid1, interpret)
+                    pc1, ft1, valid1, interpret, dtype)
     f2 = _mse_fused(mse_p, mse_s, cfg.sa_radii, cfg.sa_nsamples,
-                    pc2, ft2, valid2, interpret)
+                    pc2, ft2, valid2, interpret, dtype)
 
     b, n1, _ = pc1.shape
     n2 = pc2.shape[1]
@@ -97,13 +149,19 @@ def _trunk(params, stats, cfg, pc1, pc2, ft1, ft2, valid1, valid2,
     f2 = jnp.concatenate(
         [f2, jnp.broadcast_to(g2[:, None], (b, n2, g2.shape[-1]))], axis=-1)
 
+    # fusing the encoder outputs into the cost-volume stage trips a TPU
+    # compiler bug (SpatialMajorConvolution fusion cost model SIGABRT on
+    # bf16 [64,256,256]-class operands — see _dot32); the barrier costs
+    # one HBM round-trip of [B,N,512] and keeps the stages separate
+    f1, f2 = lax.optimization_barrier((f1, f2))
+
     cor = _cost_volume(params["fc_layer"], pc1, pc2, f1, f2,
-                       valid1, valid2, cfg.fc_nsample, interpret)
+                       valid1, valid2, cfg.fc_nsample, interpret, dtype)
 
     emb = jnp.concatenate([ft1, f1, cor], axis=-1)
     return _mse_fused(params["mse_layer2"], stats["mse_layer2"],
                       cfg.sa_radii, cfg.sa_nsamples, pc1, emb, valid1,
-                      interpret)
+                      interpret, dtype)
 
 
 def cmflow_infer(
@@ -117,6 +175,7 @@ def cmflow_infer(
     stat_thres: float = 0.5,
     cfg: BackboneConfig = BackboneConfig(),
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused CMFlow eval forward — same outputs as
     ``CMFlow.apply(..., train=False)`` (models/cmflow.py:42-92)."""
@@ -124,14 +183,16 @@ def cmflow_infer(
     stats = variables["batch_stats"]
 
     prop = _trunk(params["trunk"], stats["trunk"], cfg,
-                  pc1, pc2, ft1, ft2, valid1, valid2, interpret)
+                  pc1, pc2, ft1, ft2, valid1, valid2, interpret,
+                  compute_dtype)
     b, n, _ = pc1.shape
     g = masked_global_max(prop, valid1)
     final = jnp.concatenate(
         [prop, jnp.broadcast_to(g[:, None], (b, n, g.shape[-1]))], axis=-1)
 
-    output = _head(params["fp"], stats["fp"], final)
-    stat_cls = jax.nn.sigmoid(_head(params["mp"], stats["mp"], final))[..., 0]
+    output = _head(params["fp"], stats["fp"], final, compute_dtype)
+    stat_cls = jax.nn.sigmoid(
+        _head(params["mp"], stats["mp"], final, compute_dtype))[..., 0]
 
     mask = stat_cls > stat_thres
     if valid1 is not None:
@@ -147,6 +208,126 @@ def cmflow_infer(
     sf_rg = se3.rigid_to_flow(pc1, pre_trans)
     sf_agg = jnp.where(mask[..., None], sf_rg, output)
     return sf_agg, stat_cls, pre_trans, mask
+
+
+def cmflow_infer_many(
+    variables,
+    pc1: Array,
+    pc2: Array,
+    ft1: Array,
+    ft2: Array,
+    valid1: Optional[Array] = None,
+    valid2: Optional[Array] = None,
+    stat_thres: float = 0.5,
+    cfg: BackboneConfig = BackboneConfig(),
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+) -> Tuple[Array, Array, Array, Array]:
+    """Fused CMFlow eval over a macro-batch: inputs are stacked
+    ``[S, B, N, ...]`` and the S steps run inside ONE compiled program
+    (``lax.scan``).
+
+    On tunneled runtimes every dispatch of the single-batch engine pays
+    ~15 ms of host/tunnel overhead (measured round 2: 49.9 ms/it chained
+    vs ~34 ms/it inside a scan); a production eval loop should feed
+    macro-batches through this entry instead.  Nothing here is
+    loop-invariant except the params, so XLA cannot hoist model compute —
+    every step's full forward executes inside the loop.
+    """
+    has_valid = valid1 is not None
+
+    def body(carry, xs):
+        if has_valid:
+            a, b_, c, d, v1, v2 = xs
+        else:
+            a, b_, c, d = xs
+            v1 = v2 = None
+        out = cmflow_infer(variables, a, b_, c, d, v1, v2, stat_thres,
+                           cfg, interpret, compute_dtype)
+        return carry, out
+
+    xs = (pc1, pc2, ft1, ft2) + ((valid1, valid2) if has_valid else ())
+    _, outs = jax.lax.scan(body, 0, xs)
+    return outs
+
+
+def raflow_infer_many(
+    variables,
+    pc1: Array,
+    pc2: Array,
+    ft1: Array,
+    ft2: Array,
+    interval: Array,
+    valid1: Optional[Array] = None,
+    valid2: Optional[Array] = None,
+    rigid_thres: float = 0.15,
+    rigid_pcs: float = 0.25,
+    cfg: BackboneConfig = BackboneConfig(),
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+) -> Tuple[Array, Array, Array, Array]:
+    """Macro-batched RaFlow eval (see :func:`cmflow_infer_many`)."""
+    has_valid = valid1 is not None
+
+    def body(carry, xs):
+        if has_valid:
+            a, b_, c, d, iv, v1, v2 = xs
+        else:
+            a, b_, c, d, iv = xs
+            v1 = v2 = None
+        out = raflow_infer(variables, a, b_, c, d, iv, v1, v2,
+                           rigid_thres, rigid_pcs, cfg, interpret,
+                           compute_dtype)
+        return carry, out
+
+    xs = (pc1, pc2, ft1, ft2, interval) + (
+        (valid1, valid2) if has_valid else ())
+    _, outs = jax.lax.scan(body, 0, xs)
+    return outs
+
+
+def cmflow_t_infer_seq(
+    variables,
+    pc1: Array,
+    pc2: Array,
+    ft1: Array,
+    ft2: Array,
+    gfeat0: Array,
+    reset: Array,
+    valid1: Optional[Array] = None,
+    valid2: Optional[Array] = None,
+    stat_thres: float = 0.5,
+    cfg: BackboneConfig = BackboneConfig(),
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+) -> Tuple[Tuple[Array, Array, Array, Array], Array]:
+    """Fused CMFlow_T eval over a frame sequence in one compiled program.
+
+    Inputs are stacked ``[T, B, N, ...]``; ``reset`` is ``[T, B]`` — 1
+    zeroes the GRU carry *before* frame t (clip start / every
+    ``update_len`` frames, clip_util.py:226-233).  Batching is across
+    clips: each batch lane carries its own hidden state.
+
+    Returns ``((sf, cls, trans, mask) stacked [T, ...], final gfeat)``.
+    """
+    has_valid = valid1 is not None
+
+    def body(gfeat, xs):
+        if has_valid:
+            a, b_, c, d, r, v1, v2 = xs
+        else:
+            a, b_, c, d, r = xs
+            v1 = v2 = None
+        gfeat = jnp.where(r[:, None] > 0, 0.0, gfeat)
+        sf, cls, trans, mask, gnew = cmflow_t_infer(
+            variables, a, b_, c, d, gfeat, v1, v2, stat_thres, cfg,
+            interpret, compute_dtype)
+        return gnew, (sf, cls, trans, mask)
+
+    xs = (pc1, pc2, ft1, ft2, reset) + (
+        (valid1, valid2) if has_valid else ())
+    gfinal, outs = jax.lax.scan(body, gfeat0, xs)
+    return outs, gfinal
 
 
 def _gru_cell(p, h, x):
@@ -173,6 +354,7 @@ def cmflow_t_infer(
     stat_thres: float = 0.5,
     cfg: BackboneConfig = BackboneConfig(),
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Tuple[Array, Array, Array, Array, Array]:
     """Fused CMFlow_T eval forward — same outputs (incl. the new GRU carry)
     as ``CMFlowT.apply(..., train=False)`` (models/cmflow_t.py:46-100)."""
@@ -180,7 +362,8 @@ def cmflow_t_infer(
     stats = variables["batch_stats"]
 
     prop = _trunk(params["trunk"], stats["trunk"], cfg,
-                  pc1, pc2, ft1, ft2, valid1, valid2, interpret)
+                  pc1, pc2, ft1, ft2, valid1, valid2, interpret,
+                  compute_dtype)
     pooled = masked_global_max(prop, valid1)
     gfeat_new = _gru_cell(params["gru"], gfeat, pooled)
 
@@ -189,8 +372,9 @@ def cmflow_t_infer(
         [prop, jnp.broadcast_to(gfeat_new[:, None],
                                 (b, n, gfeat_new.shape[-1]))], axis=-1)
 
-    output = _head(params["fp"], stats["fp"], final)
-    stat_cls = jax.nn.sigmoid(_head(params["mp"], stats["mp"], final))[..., 0]
+    output = _head(params["fp"], stats["fp"], final, compute_dtype)
+    stat_cls = jax.nn.sigmoid(
+        _head(params["mp"], stats["mp"], final, compute_dtype))[..., 0]
 
     mask = stat_cls > stat_thres
     if valid1 is not None:
@@ -223,18 +407,20 @@ def raflow_infer(
     rigid_pcs: float = 0.25,
     cfg: BackboneConfig = BackboneConfig(),
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Tuple[Array, Array, Array, Array]:
     """Fused RaFlow eval forward (models/raflow.py:38-105)."""
     params = variables["params"]
     stats = variables["batch_stats"]
 
     prop = _trunk(params["trunk"], stats["trunk"], cfg,
-                  pc1, pc2, ft1, ft2, valid1, valid2, interpret)
+                  pc1, pc2, ft1, ft2, valid1, valid2, interpret,
+                  compute_dtype)
     b, n, _ = pc1.shape
     g = masked_global_max(prop, valid1)
     final = jnp.concatenate(
         [prop, jnp.broadcast_to(g[:, None], (b, n, g.shape[-1]))], axis=-1)
-    output = _head(params["fp"], stats["fp"], final)
+    output = _head(params["fp"], stats["fp"], final, compute_dtype)
 
     pc1_warp = pc1 + output
     if valid1 is not None:

@@ -38,52 +38,85 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _plf_kernel(feat_ref, idx_ref, rel_ref, wrel_ref, *rest, num_layers,
-                nsample):
+def _plf_kernel(feat_ref, idx_ref, xyz_ref, xyzt_ref, wrel_ref, *rest,
+                num_layers, nsample):
     """One (batch-element, row-tile) step of the fused encoder.
 
     rest = s0, b0, [w1, s1, b1, [w2, s2, b2, ...]], out_ref
 
     The K neighbors are processed by a ``fori_loop`` with a running max —
-    inputs are laid out k-major (``idx [B,K,T,1]``, ``rel [B,K,T,3]``) so
-    the loop index hits a leading, untiled dimension (Mosaic has no layout
-    for [T*K, C] <-> [T, K, C] reshapes), and per-k [T, N] x [N, C] one-hot
-    matmuls are clean MXU shapes anyway.  The one-hot gather is *exact*:
-    each output row sums exactly one nonzero product.
+    the index array is laid out k-major with the row-tile in the LANE
+    dimension (``idx [B,K,1,T]``): the loop index hits a leading, untiled
+    dimension (Mosaic has no layout for [T*K, C] <-> [T, K, C] reshapes),
+    and the tiny trailing dim sits in sublanes, padded to 8 — a
+    trailing-lane layout would pad it to 128 and blow the VMEM budget
+    (measured: 2 MB per operand at T=128).  The transposed one-hot is
+    contracted over its leading dim — ``onehot^T @ feat`` — a clean MXU
+    shape; the gather is *exact*: each output row sums exactly one nonzero
+    product.
+
+    Relative offsets are NOT an input: the kernel gathers xyz with the
+    same one-hot and subtracts the tile's own coordinates — the XLA-side
+    ``[B,N,K,3]`` neighborhood tensor (HBM round-trip + layout transposes)
+    never exists.
     """
     out_ref = rest[-1]
     affines = rest[:-1]
 
     n = feat_ref.shape[1]
-    t = idx_ref.shape[2]
+    t = idx_ref.shape[3]
     c_out = out_ref.shape[2]
 
-    cols = lax.broadcasted_iota(jnp.int32, (t, n), dimension=1)
+    rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
     feat = feat_ref[0]
+    # xyz gathered hi/lo (exact to ~2^-16) in every mode — geometry
+    # precision feeds the first layer directly
+    xyz32 = xyz_ref[0].astype(jnp.float32)  # [N, 3]
+    xyz_hi = xyz32.astype(jnp.bfloat16)
+    xyz_lo = (xyz32 - xyz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xyz_t = xyzt_ref[0].astype(jnp.float32)  # [T, 3]
     wrel = wrel_ref[:]
+    bf16_mode = feat.dtype == jnp.bfloat16
 
-    # hi/lo split: two single-pass bf16 one-hot matmuls reconstruct the f32
-    # feature values to ~2^-16 relative (one MXU pass each; the compiler's
-    # HIGHEST would use six).  The one-hot lhs is exact in bf16.
-    feat_hi = feat.astype(jnp.bfloat16)
-    feat_lo = (feat - feat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if bf16_mode:
+        # bf16 serving: features arrive pre-rounded; one MXU pass per gather
+        feat_hi, feat_lo = feat, None
+    else:
+        # hi/lo split: two single-pass bf16 one-hot matmuls reconstruct the
+        # f32 feature values to ~2^-16 relative (one MXU pass each; the
+        # compiler's HIGHEST would use six).  The one-hot lhs is exact.
+        feat_hi = feat.astype(jnp.bfloat16)
+        feat_lo = (feat - feat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
 
     def body(kk, acc):
-        idx_k = idx_ref[0, kk]  # [T, 1]
-        onehot = (cols == idx_k).astype(jnp.bfloat16)  # [T, N]
-        g = (jnp.dot(onehot, feat_hi, preferred_element_type=jnp.float32)
-             + jnp.dot(onehot, feat_lo,
-                       preferred_element_type=jnp.float32))
-        rel_k = rel_ref[0, kk]  # [T, 3]
-        x = g + jnp.dot(rel_k, wrel, preferred_element_type=jnp.float32)
+        idx_k = idx_ref[0, kk]  # [1, T]
+        oh_t = (rows == idx_k).astype(jnp.bfloat16)  # [N, T]
+        g = lax.dot_general(oh_t, feat_hi, dim0,
+                            preferred_element_type=jnp.float32)
+        if feat_lo is not None:
+            g = g + lax.dot_general(oh_t, feat_lo, dim0,
+                                    preferred_element_type=jnp.float32)
+        # rel = xyz[idx_k] - xyz_tile (hi/lo one-hot gather)
+        gx = (lax.dot_general(oh_t, xyz_hi, dim0,
+                              preferred_element_type=jnp.float32)
+              + lax.dot_general(oh_t, xyz_lo, dim0,
+                                preferred_element_type=jnp.float32))
+        rel_k = (gx - xyz_t).astype(wrel.dtype)  # [T, 3]
+        x = g + jnp.dot(rel_k, wrel,
+                        preferred_element_type=jnp.float32)
 
-        # [affine BN -> ReLU -> Dense] chain
+        # [affine BN -> ReLU -> Dense] chain (affines applied in f32;
+        # matmul inputs in the weights' dtype — bf16 halves MXU passes)
         x = jnp.maximum(x * affines[0][:] + affines[1][:], 0.0)
         pos = 2
         for _ in range(num_layers - 1):
             w, s, b = affines[pos], affines[pos + 1], affines[pos + 2]
             pos += 3
-            x = jnp.dot(x, w[:], preferred_element_type=jnp.float32)
+            w_val = w[:]
+            x = jnp.dot(x.astype(w_val.dtype), w_val,
+                        preferred_element_type=jnp.float32)
             x = jnp.maximum(x * s[:] + b[:], 0.0)
 
         return jnp.maximum(acc, x)
@@ -96,17 +129,18 @@ def _plf_kernel(feat_ref, idx_ref, rel_ref, wrel_ref, *rest, num_layers,
 def fused_point_local_feature(
     feat_tx: Array,
     idx: Array,
-    rel: Array,
+    xyz: Array,
     params: Tuple[Array, ...],
     interpret: bool = False,
 ) -> Array:
-    """Fused grouped-MLP + max-pool over precomputed neighborhoods.
+    """Fused grouped-MLP + max-pool over ball-query neighborhoods.
 
     Args:
       feat_tx: ``[B, N, C1]`` per-point features *after* the factored first
         layer's feature transform (``features @ w0[3:]``).
       idx: ``[B, N, K]`` int32 ball-query indices.
-      rel: ``[B, N, K, 3]`` relative neighbor offsets.
+      xyz: ``[B, N, 3]`` point coordinates (relative offsets are computed
+        in-kernel from these — no ``[B,N,K,3]`` XLA-side tensor).
       params: flat tuple ``(wrel, s0, b0, w1, s1, b1, ...)`` — the rel-part
         of the first kernel, then per-layer folded BN scale/bias and Dense
         kernels (see :func:`fold_bn_affine`).
@@ -120,20 +154,23 @@ def fused_point_local_feature(
     num_layers = 1 + (len(params) - 3) // 3
     c_out = params[-1].shape[-1]
 
-    tile = n if n <= 64 else 64
+    # T=128 fills the MXU's M dimension (a 64-row tile leaves half the
+    # systolic array idle); VMEM stays comfortable even at C1=512
+    tile = n if n <= 128 else 128
     assert n % tile == 0, (n, tile)
 
-    # k-major layouts so the kernel's K loop indexes a leading dim
-    idx_km = jnp.swapaxes(idx, 1, 2)[..., None]  # [B, K, N, 1]
-    rel_km = jnp.transpose(rel, (0, 2, 1, 3))  # [B, K, N, 3]
+    # k-major, tile-in-lanes layout (see kernel docstring)
+    idx_km = jnp.swapaxes(idx, 1, 2)[:, :, None, :]  # [B, K, 1, N]
 
     grid = (b, n // tile)
     in_specs = [
         pl.BlockSpec((1, n, c1), lambda bi, ti: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, k, tile, 1), lambda bi, ti: (bi, 0, ti, 0),
+        pl.BlockSpec((1, k, 1, tile), lambda bi, ti: (bi, 0, 0, ti),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, k, tile, 3), lambda bi, ti: (bi, 0, ti, 0),
+        pl.BlockSpec((1, n, 3), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
     ]
     for p in params:
@@ -152,8 +189,236 @@ def fused_point_local_feature(
                                lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(feat_tx, idx_km, rel_km, *params)
+    )(feat_tx, idx_km, xyz, xyz, *params)
     return out
+
+
+def _mse_kernel(feat_ref, *rest, num_scales, nsamples, out_each):
+    """Fused narrow MultiScaleEncoder: ALL scales of one encoder in one
+    kernel, with per-scale weights packed block-diagonally so every matmul
+    runs at full 128-lane MXU width.
+
+    The per-scale kernels are tiny for the sa encoder (C=32..64 →
+    ~12% MXU lane utilization, measured 13.6 ms of the 34 ms eval);
+    packing the 4 scales' chains into [128,128]/[128,256] block-diagonal
+    matmuls recovers full tiles.  Scales keep disjoint channel blocks
+    through the whole chain (block-diagonal weights, per-channel affines),
+    so the math per scale is unchanged; iterations k >= nsample_s are
+    masked to -inf for scale s's output block before the running max.
+
+    rest = idx_0..S-1 [1,Kmax,1,T], xyz [1,N,3], xyzt [1,T,3],
+           w0rel_0..S-1 [3,C1c], w0feat_0..S-1 [Cf,C1c],
+           s0, b0, w1bd, s1, b1, w2bd, s2, b2, out_ref
+
+    Relative offsets are computed in-kernel from xyz (hi/lo one-hot
+    gather), like :func:`_plf_kernel`.
+    """
+    s_cnt = num_scales
+    idx_refs = rest[:s_cnt]
+    xyz_ref, xyzt_ref = rest[s_cnt], rest[s_cnt + 1]
+    w0rel_refs = rest[s_cnt + 2:2 * s_cnt + 2]
+    w0feat_refs = rest[2 * s_cnt + 2:3 * s_cnt + 2]
+    (s0_ref, b0_ref, w1_ref, s1_ref, b1_ref,
+     w2_ref, s2_ref, b2_ref, out_ref) = rest[3 * s_cnt + 2:]
+
+    n = feat_ref.shape[1]
+    t = idx_refs[0].shape[3]
+    c_out = out_ref.shape[2]
+    kmax = max(nsamples)
+
+    rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
+    feat = feat_ref[0]
+    xyz32 = xyz_ref[0].astype(jnp.float32)
+    xyz_hi = xyz32.astype(jnp.bfloat16)
+    xyz_lo = (xyz32 - xyz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xyz_t = xyzt_ref[0].astype(jnp.float32)
+    if feat.dtype == jnp.bfloat16:
+        feat_hi, feat_lo = feat, None
+    else:
+        feat_hi = feat.astype(jnp.bfloat16)
+        feat_lo = (feat - feat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
+
+    # per-output-channel iteration threshold: channel block s is valid
+    # while kk < nsamples[s]
+    cid = lax.broadcasted_iota(jnp.int32, (t, c_out), 1) // out_each
+    kthr = jnp.full((t, c_out), nsamples[-1], jnp.int32)
+    for s in range(s_cnt - 1):
+        kthr = jnp.where(cid == s, nsamples[s], kthr)
+
+    dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
+
+    def body(kk, acc):
+        x = None
+        for s in range(s_cnt):
+            idx_k = idx_refs[s][0, kk]  # [1, T]
+            oh_t = (rows == idx_k).astype(jnp.bfloat16)  # [N, T]
+            g = lax.dot_general(oh_t, feat_hi, dim0,
+                                preferred_element_type=jnp.float32)
+            if feat_lo is not None:
+                g = g + lax.dot_general(oh_t, feat_lo, dim0,
+                                        preferred_element_type=jnp.float32)
+            w0f = w0feat_refs[s][:]
+            w0r = w0rel_refs[s][:]
+            gx = (lax.dot_general(oh_t, xyz_hi, dim0,
+                                  preferred_element_type=jnp.float32)
+                  + lax.dot_general(oh_t, xyz_lo, dim0,
+                                    preferred_element_type=jnp.float32))
+            rel_k = (gx - xyz_t).astype(w0r.dtype)  # [T, 3]
+            contrib = (jnp.dot(g.astype(w0f.dtype), w0f,
+                               preferred_element_type=jnp.float32)
+                       + jnp.dot(rel_k, w0r,
+                                 preferred_element_type=jnp.float32))
+            x = contrib if x is None else x + contrib
+        x = jnp.maximum(x * s0_ref[:] + b0_ref[:], 0.0)
+        x = jnp.dot(x.astype(w1.dtype), w1,
+                    preferred_element_type=jnp.float32)
+        x = jnp.maximum(x * s1_ref[:] + b1_ref[:], 0.0)
+        x = jnp.dot(x.astype(w2.dtype), w2,
+                    preferred_element_type=jnp.float32)
+        x = jnp.maximum(x * s2_ref[:] + b2_ref[:], 0.0)
+        x = jnp.where(kthr > kk, x, -jnp.inf)
+        return jnp.maximum(acc, x)
+
+    init = jnp.full((t, c_out), -jnp.inf, jnp.float32)
+    out_ref[0] = lax.fori_loop(0, kmax, body, init)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def fused_multi_scale_encoder(
+    feats: Array,
+    idx_list: Sequence[Array],
+    xyz: Array,
+    packed: Tuple[Array, ...],
+    nsamples: Tuple[int, ...] = (),
+    interpret: bool = False,
+    out_each: int = 64,
+) -> Array:
+    """All scales of a narrow MultiScaleEncoder fused into one kernel.
+
+    Args:
+      feats: ``[B, N, Cf]`` raw per-point features (pre-w0; the kernel
+        gathers these once per scale and applies each scale's factored
+        first layer inside).
+      idx_list: per scale, ``[B, N, K_s]`` ball-query indices.
+      xyz: ``[B, N, 3]`` coordinates (offsets computed in-kernel).
+      packed: ``(w0rel_0..S-1, w0feat_0..S-1, s0, b0, w1bd, s1, b1, w2bd,
+        s2, b2)`` from :func:`mse_narrow_params_from_variables`.
+      nsamples: static per-scale K.
+      out_each: channels per scale in the output (= mlp[-1]).
+
+    Returns:
+      ``[B, N, S*mlp[-1]]`` concatenated max-pooled features (pre-mlp2),
+      channel blocks in scale order.
+    """
+    s_cnt = len(idx_list)
+    b, n, _ = feats.shape
+    kmax = max(nsamples)
+    c_out = s_cnt * out_each
+
+    tile = n if n <= 128 else 128
+    assert n % tile == 0, (n, tile)
+
+    idx_km = []
+    for idx in idx_list:
+        k = idx.shape[2]
+        pad = kmax - k
+        i2 = jnp.swapaxes(idx, 1, 2)[:, :, None, :]  # [B, K, 1, N]
+        if pad:
+            # padded iterations are masked to -inf by the kernel; values
+            # only need to be in range
+            i2 = jnp.pad(i2, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        idx_km.append(i2)
+
+    grid = (b, n // tile)
+    in_specs = [pl.BlockSpec((1, n, feats.shape[2]),
+                             lambda bi, ti: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for _ in range(s_cnt):
+        in_specs.append(pl.BlockSpec((1, kmax, 1, tile),
+                                     lambda bi, ti: (bi, 0, 0, ti),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, n, 3), lambda bi, ti: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+                                 memory_space=pltpu.VMEM))
+    for p in packed:
+        nd = p.ndim
+        in_specs.append(pl.BlockSpec(p.shape,
+                                     (lambda bi, ti, _nd=nd: (0,) * _nd),
+                                     memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        functools.partial(_mse_kernel, num_scales=s_cnt,
+                          nsamples=tuple(nsamples), out_each=out_each),
+        out_shape=jax.ShapeDtypeStruct((b, n, c_out), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, c_out),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(feats, *idx_km, xyz, xyz, *packed)
+
+
+def mse_narrow_params_from_variables(mse_params, mse_stats, num_scales,
+                                     dtype=jnp.float32):
+    """Pack a narrow MultiScaleEncoder's per-scale params into the
+    block-diagonal layout of :func:`fused_multi_scale_encoder`.
+
+    Returns ``(packed, mlp2_bd)`` where ``mlp2_bd`` is a list of
+    ``(w_blockdiag, scale, bias)`` for the per-point mlp2 tail (full-width
+    matmuls in XLA glue).
+    """
+    from jax.scipy.linalg import block_diag
+
+    w0rel, w0feat, s0, b0, w1s, s1, b1, w2s, s2, b2 = \
+        [], [], [], [], [], [], [], [], [], []
+    mlp2_per_layer = None
+    for s in range(num_scales):
+        sp, ss = mse_params[f"scale_{s}"], mse_stats[f"scale_{s}"]
+        chain, feat_w, mlp2 = plf_params_from_variables(sp, ss)
+        # chain = (wrel, s0, b0, w1, s1, b1, w2, s2, b2) for mlp of 3
+        assert len(chain) == 9, "narrow path expects a 3-layer sa mlp"
+        w0rel.append(chain[0])
+        w0feat.append(feat_w)
+        s0.append(chain[1]); b0.append(chain[2])
+        w1s.append(chain[3]); s1.append(chain[4]); b1.append(chain[5])
+        w2s.append(chain[6]); s2.append(chain[7]); b2.append(chain[8])
+        if mlp2_per_layer is None:
+            mlp2_per_layer = [[] for _ in mlp2]
+        for li, (w, sc, bi_) in enumerate(mlp2):
+            mlp2_per_layer[li].append((w, sc, bi_))
+
+    c1c = sum(w.shape[1] for w in w0rel)
+    starts = [0]
+    for w in w0rel:
+        starts.append(starts[-1] + w.shape[1])
+
+    def widen(w, s):
+        full = jnp.zeros((w.shape[0], c1c), w.dtype)
+        return full.at[:, starts[s]:starts[s] + w.shape[1]].set(w)
+
+    packed = (
+        tuple(widen(w, s).astype(dtype) for s, w in enumerate(w0rel))
+        + tuple(widen(w, s).astype(dtype) for s, w in enumerate(w0feat))
+        + (jnp.concatenate(s0), jnp.concatenate(b0),
+           block_diag(*w1s).astype(dtype),
+           jnp.concatenate(s1), jnp.concatenate(b1),
+           block_diag(*w2s).astype(dtype),
+           jnp.concatenate(s2), jnp.concatenate(b2))
+    )
+
+    mlp2_bd = []
+    for layer in mlp2_per_layer:
+        mlp2_bd.append((
+            block_diag(*[w for w, _, _ in layer]),
+            jnp.concatenate([sc for _, sc, _ in layer]),
+            jnp.concatenate([bi_ for _, _, bi_ in layer]),
+        ))
+    return packed, mlp2_bd
 
 
 def _hilo(x: Array) -> Tuple[Array, Array]:
@@ -237,8 +502,8 @@ def _mxu_group_bwd(interpret, res, g):
 mxu_group_points.defvjp(_mxu_group_fwd, _mxu_group_bwd)
 
 
-def _cv_kernel(f1t_ref, f2t_ref, idx_ref, dirs_ref, wd_ref, b0_ref,
-               w1_ref, b1_ref, w2_ref, b2_ref,
+def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
+               b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                wn0_ref, wnb0_ref, wn1_ref, wnb1_ref, wn2_ref, wnb2_ref,
                out_ref, *, nsample):
     """Fused point-to-patch cost volume (FeatureCorrelator first half,
@@ -246,35 +511,55 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, dirs_ref, wd_ref, b0_ref,
     transformed frame-2 features, LeakyReLU(0.1) dense chain, WeightNet
     from the offset, weighted accumulation.  All in VMEM."""
     n2 = f2t_ref.shape[1]
-    t = idx_ref.shape[2]
+    t = idx_ref.shape[3]
     c = f1t_ref.shape[2]
 
-    cols = lax.broadcasted_iota(jnp.int32, (t, n2), dimension=1)
-    f1t = f1t_ref[0]
+    rows = lax.broadcasted_iota(jnp.int32, (n2, t), dimension=0)
+    dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
+    xyz2 = xyz2_ref[0].astype(jnp.float32)
+    xyz2_hi = xyz2.astype(jnp.bfloat16)
+    xyz2_lo = (xyz2 - xyz2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xyz1 = xyz1_ref[0].astype(jnp.float32)  # [T, 3]
+    f1t = f1t_ref[0].astype(jnp.float32)
     f2 = f2t_ref[0]
-    f2_hi = f2.astype(jnp.bfloat16)
-    f2_lo = (f2 - f2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if f2.dtype == jnp.bfloat16:
+        f2_hi, f2_lo = f2, None
+    else:
+        f2_hi = f2.astype(jnp.bfloat16)
+        f2_lo = (f2 - f2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
 
     def body(kk, acc):
-        idx_k = idx_ref[0, kk]  # [T, 1]
-        onehot = (cols == idx_k).astype(jnp.bfloat16)
-        g = (jnp.dot(onehot, f2_hi, preferred_element_type=jnp.float32)
-             + jnp.dot(onehot, f2_lo, preferred_element_type=jnp.float32))
-        d_k = dirs_ref[0, kk]  # [T, 3]
-        x = f1t + g + jnp.dot(d_k, wd_ref[:],
-                              preferred_element_type=jnp.float32) + b0_ref[:]
+        idx_k = idx_ref[0, kk]  # [1, T]
+        oh_t = (rows == idx_k).astype(jnp.bfloat16)  # [N2, T]
+        g = lax.dot_general(oh_t, f2_hi, dim0,
+                            preferred_element_type=jnp.float32)
+        if f2_lo is not None:
+            g = g + lax.dot_general(oh_t, f2_lo, dim0,
+                                    preferred_element_type=jnp.float32)
+        # dirs = xyz2[idx_k] - xyz1 (hi/lo one-hot gather), [T, 3]
+        d_k = (lax.dot_general(oh_t, xyz2_hi, dim0,
+                               preferred_element_type=jnp.float32)
+               + lax.dot_general(oh_t, xyz2_lo, dim0,
+                                 preferred_element_type=jnp.float32)
+               - xyz1)
+        wd = wd_ref[:]
+        x = f1t + g + jnp.dot(
+            d_k.astype(wd.dtype), wd,
+            preferred_element_type=jnp.float32) + b0_ref[:]
         x = jnp.where(x > 0, x, 0.1 * x)
-        x = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) \
-            + b1_ref[:]
+        x = jnp.dot(x.astype(w1.dtype), w1,
+                    preferred_element_type=jnp.float32) + b1_ref[:]
         x = jnp.where(x > 0, x, 0.1 * x)
-        x = jnp.dot(x, w2_ref[:], preferred_element_type=jnp.float32) \
-            + b2_ref[:]
+        x = jnp.dot(x.astype(w2.dtype), w2,
+                    preferred_element_type=jnp.float32) + b2_ref[:]
         x = jnp.where(x > 0, x, 0.1 * x)
 
         # WeightNet(3 -> 8 -> 8 -> C), ReLU (radarflow_util.py:287-318)
-        w = jnp.maximum(jnp.dot(d_k, wn0_ref[:],
-                                preferred_element_type=jnp.float32)
-                        + wnb0_ref[:], 0.0)
+        w = jnp.maximum(jnp.dot(
+            d_k.astype(jnp.float32), wn0_ref[:],
+            preferred_element_type=jnp.float32) + wnb0_ref[:], 0.0)
         w = jnp.maximum(jnp.dot(w, wn1_ref[:],
                                 preferred_element_type=jnp.float32)
                         + wnb1_ref[:], 0.0)
@@ -284,33 +569,48 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, dirs_ref, wd_ref, b0_ref,
         return acc + w * x
 
     init = jnp.zeros((t, c), jnp.float32)
-    out_ref[0] = lax.fori_loop(0, nsample, body, init)
+    out_ref[0] = lax.fori_loop(0, nsample, body, init).astype(out_ref.dtype)
 
 
-def _cv_agg_kernel(p2p_ref, idx_ref, dirs_ref,
+def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
                    wn0_ref, wnb0_ref, wn1_ref, wnb1_ref, wn2_ref, wnb2_ref,
                    out_ref, *, nsample):
     """Fused patch-to-patch aggregation (FeatureCorrelator second half,
     radarflow_util.py:216-237): gather the point-to-patch costs over
     frame-1 neighborhoods and WeightNet-weighted-sum them."""
     n = p2p_ref.shape[1]
-    t = idx_ref.shape[2]
+    t = idx_ref.shape[3]
     c = p2p_ref.shape[2]
 
-    cols = lax.broadcasted_iota(jnp.int32, (t, n), dimension=1)
+    rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
+    dim0 = (((0,), (0,)), ((), ()))
+    xyz1 = xyz1_ref[0].astype(jnp.float32)
+    xyz1_hi = xyz1.astype(jnp.bfloat16)
+    xyz1_lo = (xyz1 - xyz1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xyz1_t = xyz1t_ref[0].astype(jnp.float32)
     p2p = p2p_ref[0]
-    hi = p2p.astype(jnp.bfloat16)
-    lo = (p2p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if p2p.dtype == jnp.bfloat16:
+        hi, lo = p2p, None
+    else:
+        hi = p2p.astype(jnp.bfloat16)
+        lo = (p2p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def body(kk, acc):
-        idx_k = idx_ref[0, kk]
-        onehot = (cols == idx_k).astype(jnp.bfloat16)
-        g = (jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
-             + jnp.dot(onehot, lo, preferred_element_type=jnp.float32))
-        d_k = dirs_ref[0, kk]
-        w = jnp.maximum(jnp.dot(d_k, wn0_ref[:],
-                                preferred_element_type=jnp.float32)
-                        + wnb0_ref[:], 0.0)
+        idx_k = idx_ref[0, kk]  # [1, T]
+        oh_t = (rows == idx_k).astype(jnp.bfloat16)
+        g = lax.dot_general(oh_t, hi, dim0,
+                            preferred_element_type=jnp.float32)
+        if lo is not None:
+            g = g + lax.dot_general(oh_t, lo, dim0,
+                                    preferred_element_type=jnp.float32)
+        d_k = (lax.dot_general(oh_t, xyz1_hi, dim0,
+                               preferred_element_type=jnp.float32)
+               + lax.dot_general(oh_t, xyz1_lo, dim0,
+                                 preferred_element_type=jnp.float32)
+               - xyz1_t)  # [T, 3]
+        w = jnp.maximum(jnp.dot(
+            d_k, wn0_ref[:],
+            preferred_element_type=jnp.float32) + wnb0_ref[:], 0.0)
         w = jnp.maximum(jnp.dot(w, wn1_ref[:],
                                 preferred_element_type=jnp.float32)
                         + wnb1_ref[:], 0.0)
@@ -323,10 +623,11 @@ def _cv_agg_kernel(p2p_ref, idx_ref, dirs_ref,
     out_ref[0] = lax.fori_loop(0, nsample, body, init)
 
 
-def _km(idx: Array, rel: Array) -> Tuple[Array, Array]:
-    """k-major layouts for the kernels' K loop."""
-    return (jnp.swapaxes(idx, 1, 2)[..., None],
-            jnp.transpose(rel, (0, 2, 1, 3)))
+def _km_idx(idx: Array) -> Array:
+    """k-major, rows-in-lanes index layout for the kernels' K loop (the
+    tiny trailing dim sits in sublanes — a trailing-lane layout pads it to
+    128 lanes and wastes VMEM)."""
+    return jnp.swapaxes(idx, 1, 2)[:, :, None, :]
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
@@ -334,9 +635,9 @@ def fused_cost_volume(
     f1t: Array,
     f2t: Array,
     idx2: Array,
-    dirs: Array,
+    xyz1: Array,
     idx1: Array,
-    dirs1: Array,
+    xyz2: Array,
     interpret: bool = False,
     *,
     dense: Tuple[Array, ...] = (),
@@ -348,9 +649,10 @@ def fused_cost_volume(
     Args:
       f1t / f2t: ``[B, N, C]`` per-point transformed features
         (``f @ w0[:d1]`` / ``f @ w0[d1:d1+d2]``).
-      idx2 / dirs: frame-2 k-NN indices ``[B, N, K]`` and offsets
-        ``[B, N, K, 3]``.
-      idx1 / dirs1: frame-1 (self) k-NN indices/offsets.
+      idx2: frame-2 k-NN indices ``[B, N, K]``.
+      idx1: frame-1 (self) k-NN indices ``[B, N, K]``.
+      xyz1 / xyz2: ``[B, N, 3]`` coordinates (neighbor offsets are
+        gathered in-kernel).
       dense: ``(wd, b0, w1, b1, w2, b2)`` — offset part of the factored
         first correlation layer + the two LeakyReLU dense layers.
       wn1 / wn2: WeightNet params ``(w0, b0, w1, b1, w2, b2)`` each.
@@ -361,8 +663,8 @@ def fused_cost_volume(
     b, n, c = f1t.shape
     k = idx2.shape[2]
 
-    idx2_km, dirs_km = _km(idx2, dirs)
-    idx1_km, dirs1_km = _km(idx1, dirs1)
+    idx2_km = _km_idx(idx2)
+    idx1_km = _km_idx(idx1)
 
     def specs(shapes):
         out = []
@@ -373,31 +675,35 @@ def fused_cost_volume(
 
     full3 = pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, k, n, 1), lambda bi: (bi, 0, 0, 0),
+    xyz_spec = pl.BlockSpec((1, n, 3), lambda bi: (bi, 0, 0),
                             memory_space=pltpu.VMEM)
-    dir_spec = pl.BlockSpec((1, k, n, 3), lambda bi: (bi, 0, 0, 0),
+    idx_spec = pl.BlockSpec((1, k, 1, n), lambda bi: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    # bf16 serving keeps the point-to-patch intermediate in bf16 so the
+    # aggregation gather is a single MXU pass too
+    p2p_dtype = (jnp.bfloat16 if f2t.dtype == jnp.bfloat16
+                 else jnp.float32)
     p2p = pl.pallas_call(
         functools.partial(_cv_kernel, nsample=k),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), p2p_dtype),
         grid=(b,),
-        in_specs=[full3, full3, idx_spec, dir_spec]
+        in_specs=[full3, full3, idx_spec, xyz_spec, xyz_spec]
         + specs([p.shape for p in dense])
         + specs([p.shape for p in wn1]),
         out_specs=full3,
         interpret=interpret,
-    )(f1t, f2t, idx2_km, dirs_km, *dense, *wn1)
+    )(f1t, f2t, idx2_km, xyz2, xyz1, *dense, *wn1)
 
     return pl.pallas_call(
         functools.partial(_cv_agg_kernel, nsample=k),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
         grid=(b,),
-        in_specs=[full3, idx_spec, dir_spec]
+        in_specs=[full3, idx_spec, xyz_spec, xyz_spec]
         + specs([p.shape for p in wn2]),
         out_specs=full3,
         interpret=interpret,
-    )(p2p, idx1_km, dirs1_km, *wn2)
+    )(p2p, idx1_km, xyz1, xyz1, *wn2)
 
 
 def cv_params_from_variables(fc_params):

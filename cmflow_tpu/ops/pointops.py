@@ -33,8 +33,14 @@ def square_distance(src: Array, dst: Array) -> Array:
     """Pairwise squared Euclidean distance, clamped at zero.
 
     Mirrors the reference ``square_distance``
-    (utils/model_utils/radarflow_util.py:8-30): computed via the expanded
-    quadratic so the inner product rides the MXU.
+    (utils/model_utils/radarflow_util.py:8-30), via the expanded quadratic.
+
+    The cross term is a broadcast multiply-sum rather than a batched
+    ``dot_general``: with a C=3 contraction the MXU is useless anyway
+    (3/128 lanes) and the TPU backend lowers such dots through its
+    SpatialMajorConvolution emitter, whose fusion cost model hard-crashes
+    (SIGABRT, fusion_util.cc TransformWindow) when the surrounding ops
+    fuse into it.  The broadcast form is pure VPU and fuses safely.
 
     Args:
       src: ``[B, N, C]``.
@@ -42,9 +48,9 @@ def square_distance(src: Array, dst: Array) -> Array:
     Returns:
       ``[B, N, M]`` squared distances (>= 0).
     """
+    cross = jnp.sum(src[:, :, None, :] * dst[:, None, :, :], axis=-1)
     d = (
-        -2.0 * jnp.einsum("bnc,bmc->bnm", src, dst,
-                          preferred_element_type=jnp.float32)
+        -2.0 * cross
         + jnp.sum(src * src, axis=-1, keepdims=True)
         + jnp.sum(dst * dst, axis=-1)[:, None, :]
     )

@@ -41,9 +41,8 @@ class TestFusedKernel:
         chain, feat_w, mlp2 = plf_params_from_variables(
             v["params"], v["batch_stats"])
         idx = pointops.ball_query(4.0, k, xyz, xyz)
-        rel = pointops.group_points(xyz, idx) - xyz[:, :, None, :]
         feat_tx = jnp.einsum("bnc,cd->bnd", feats, feat_w)
-        h = fused_point_local_feature(feat_tx, idx, rel, chain,
+        h = fused_point_local_feature(feat_tx, idx, xyz, chain,
                                       interpret=True)
         x = h
         for w, s, bb in mlp2:
@@ -55,14 +54,15 @@ class TestFusedKernel:
         b, n, k, c1 = 1, 64, 4, 16
         feat_tx = jnp.asarray(rng.randn(b, n, c1).astype(np.float32))
         idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
-        rel = jnp.asarray(rng.randn(b, n, k, 3).astype(np.float32))
+        xyz = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
         wrel = jnp.asarray(rng.randn(3, c1).astype(np.float32))
         s0 = jnp.asarray(np.abs(rng.randn(c1)).astype(np.float32))
         b0 = jnp.asarray(rng.randn(c1).astype(np.float32))
         got = fused_point_local_feature(
-            feat_tx, idx, rel, (wrel, s0, b0), interpret=True)
+            feat_tx, idx, xyz, (wrel, s0, b0), interpret=True)
 
         gathered = pointops.group_points(feat_tx, idx)
+        rel = pointops.group_points(xyz, idx) - xyz[:, :, None, :]
         pre = gathered + jnp.einsum("bnkc,cd->bnkd", rel, wrel)
         want = jnp.max(jax.nn.relu(pre * s0 + b0), axis=2)
         # the kernel's hi/lo bf16 gather is exact to ~2^-16 relative
@@ -105,6 +105,30 @@ class TestFusedInference:
                 np.asarray(a, np.float32)[:, :100],
                 np.asarray(c, np.float32)[:, :100], atol=1e-4)
 
+    def test_cmflow_infer_bf16_close_to_f32(self, rng):
+        """bf16 serving mode (single-pass gathers + bf16 dense chains)
+        tracks the f32 fused path to bf16 tolerance."""
+        b, n = 2, 128
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        model = build_model("cmflow")
+        v = _with_real_stats(model, (pc1, pc2, ft1, ft2, None))
+        f32 = cmflow_infer(v, pc1, pc2, ft1, ft2, interpret=True)
+        bf16 = cmflow_infer(v, pc1, pc2, ft1, ft2, interpret=True,
+                            compute_dtype=jnp.bfloat16)
+        # flow field within bf16 rounding of the f32 engine
+        sf32, cls32 = np.asarray(f32[0]), np.asarray(f32[1])
+        sfb, clsb = np.asarray(bf16[0], np.float32), np.asarray(bf16[1],
+                                                               np.float32)
+        scale = np.abs(sf32).max()
+        assert np.abs(sfb - sf32).max() < 0.05 * max(scale, 1.0)
+        assert np.abs(clsb - cls32).max() < 0.05
+        # transforms agree loosely (Kabsch itself runs f32 in both)
+        np.testing.assert_allclose(np.asarray(bf16[2], np.float32),
+                                   np.asarray(f32[2]), atol=0.05)
+
     def test_raflow_infer_parity(self, rng):
         b, n = 2, 128
         pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
@@ -143,6 +167,66 @@ class TestFusedInference:
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(c, np.float32),
                 atol=1e-4)
+
+
+class TestInferMany:
+    def test_scan_matches_per_batch(self, rng):
+        from cmflow_tpu.models.inference import cmflow_infer_many
+
+        s, b, n = 3, 2, 128
+        pc1 = jnp.asarray(rng.randn(s, b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(
+            rng.randn(s, b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(s, b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(s, b, n, 3).astype(np.float32))
+        model = build_model("cmflow")
+        v = _with_real_stats(model, (pc1[0], pc2[0], ft1[0], ft2[0], None))
+        many = cmflow_infer_many(v, pc1, pc2, ft1, ft2, interpret=True)
+        for i in range(s):
+            one = cmflow_infer(v, pc1[i], pc2[i], ft1[i], ft2[i],
+                               interpret=True)
+            for a, c in zip(one, (m[i] for m in many)):
+                np.testing.assert_allclose(np.asarray(a, np.float32),
+                                           np.asarray(c, np.float32),
+                                           atol=1e-5)
+
+    def test_cmflow_t_seq_reset_semantics(self, rng):
+        from cmflow_tpu.models.inference import (cmflow_t_infer,
+                                                 cmflow_t_infer_seq)
+
+        t, b, n = 4, 2, 128
+        pc1 = jnp.asarray(rng.randn(t, b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(
+            rng.randn(t, b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(t, b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(t, b, n, 3).astype(np.float32))
+        model = build_model("cmflow_t")
+        g0 = jnp.zeros((b, model.cfg.prop_width))
+        v = unfreeze(model.init({"params": jax.random.PRNGKey(0)},
+                                pc1[0], pc2[0], ft1[0], ft2[0], None, True,
+                                g0))
+        _, mut = model.apply(v, pc1[0], pc2[0], ft1[0], ft2[0], None, True,
+                             g0, mutable=["batch_stats"])
+        v["batch_stats"] = mut["batch_stats"]
+
+        # lane 0 resets at frame 2, lane 1 never (after frame 0)
+        reset = np.zeros((t, b), np.float32)
+        reset[0, :] = 1.0
+        reset[2, 0] = 1.0
+        outs, gfinal = cmflow_t_infer_seq(
+            v, pc1, pc2, ft1, ft2, g0 + 7.0, jnp.asarray(reset),
+            interpret=True)
+
+        # replay frame-by-frame with explicit resets
+        g = jnp.zeros_like(g0)
+        for i in range(t):
+            gi = jnp.where(jnp.asarray(reset[i])[:, None] > 0, 0.0, g)
+            sf, cls, trans, mask, g = cmflow_t_infer(
+                v, pc1[i], pc2[i], ft1[i], ft2[i], gi, interpret=True)
+            np.testing.assert_allclose(np.asarray(outs[0][i]),
+                                       np.asarray(sf), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gfinal), np.asarray(g),
+                                   atol=1e-6)
 
 
 class TestMxuGroupPoints:
