@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   choices=[None, "auto", "cpu", "tpu"])
     return p.parse_args()
 
 
@@ -41,6 +43,11 @@ def main():
     cfg = load_config(args.config, overrides)
 
     np.random.seed(cfg.seed)
+
+    if cfg.platform and cfg.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", cfg.platform)
 
     if cfg.nan_check:
         import jax

@@ -34,6 +34,7 @@ class BatchLoader:
         num_workers: int = 8,
         prefetch: int = 2,
         seed: int = 1234,
+        pad_batch: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -43,6 +44,7 @@ class BatchLoader:
         self.pad_multiple = pad_multiple
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.pad_batch = pad_batch
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -68,7 +70,18 @@ class BatchLoader:
             n = max(self.pad_bucket,
                     bucket_size(n_max, self.pad_multiple, self.pad_bucket))
             samples = [pad_to(s, n) for s in samples]
-        return collate(samples)
+        n_real = len(samples)
+        if self.pad_batch and n_real < self.batch_size:
+            # pad the batch dimension with repeats of the last sample so a
+            # short final batch doesn't force a fresh XLA compile;
+            # "lane_valid" marks the real lanes for the consumer
+            samples = samples + [samples[-1]] * (self.batch_size - n_real)
+        batch = collate(samples)
+        if self.pad_batch:
+            lane = np.zeros(len(samples), bool)
+            lane[:n_real] = True
+            batch["lane_valid"] = lane
+        return batch
 
     def __iter__(self) -> Iterator[Sample]:
         idx = self._indices()

@@ -207,7 +207,7 @@ def _use_fused_inference(fused: str) -> bool:
 
 
 def make_eval_step(model_name: str, model, mesh=None,
-                   fused: str = "auto"):
+                   fused: str = "auto", compute_dtype=jnp.float32):
     """Inference step returning (pred_f, pred_cls, pred_trans, pred_mask
     [, gfeat]) in eval mode (main_util.py:139-142, clip_util.py:226-233).
 
@@ -229,6 +229,7 @@ def make_eval_step(model_name: str, model, mesh=None,
                     batch["ft2"], batch["interval"], v1, v2,
                     rigid_thres=model.rigid_thres,
                     rigid_pcs=model.rigid_pcs, cfg=model.cfg,
+                    compute_dtype=compute_dtype,
                 )
             else:
                 _, sf_agg, pre_trans, mask_s = model.apply(
@@ -245,6 +246,7 @@ def make_eval_step(model_name: str, model, mesh=None,
                     variables, batch["pc1"], batch["pc2"], batch["ft1"],
                     batch["ft2"], v1, v2,
                     stat_thres=model.stat_thres, cfg=model.cfg,
+                    compute_dtype=compute_dtype,
                 )
             else:
                 sf_agg, stat_cls, pre_trans, mask = model.apply(
@@ -261,6 +263,7 @@ def make_eval_step(model_name: str, model, mesh=None,
                         variables, batch["pc1"], batch["pc2"], batch["ft1"],
                         batch["ft2"], gfeat, v1, v2,
                         stat_thres=model.stat_thres, cfg=model.cfg,
+                        compute_dtype=compute_dtype,
                     )
             else:
                 sf_agg, stat_cls, pre_trans, mask, gfeat_new = model.apply(

@@ -34,6 +34,8 @@ class Config:
     seed: int = 1234
     num_workers: int = 8
     data_parallel: bool = True  # shard batch over all local devices
+    platform: str = "auto"  # jax platform override: auto|cpu|tpu (the
+    # session sitecustomize pins a platform; env vars alone cannot move it)
     compute_dtype: str = "float32"  # or "bfloat16" for the matmul-heavy path
     fused_inference: str = "auto"  # Pallas fused eval: auto|on|off
     nan_check: bool = False  # jax_debug_nans toggle (SURVEY.md §5 sanitizers)
@@ -48,6 +50,11 @@ class Config:
     vis: bool = False
     save_res: bool = False
     eval_pad_multiple: int = 128  # static bucket granularity for eval shapes
+    # frames per device batch during (non-temporal) evaluation; the
+    # reference evaluated at B=1 (main.py:202-203) which on a tunneled TPU
+    # is RTT-bound — batching + pipelined fetches recovers device throughput
+    eval_batch_size: int = 32
+    eval_compute_dtype: str = "float32"  # fused-serving dtype: or "bfloat16"
 
     # method parameters
     rigid_thres: float = 0.15
