@@ -218,6 +218,69 @@ class TestBuildSample:
         assert s["pc1"].shape[1] == 3
 
 
+class TestFrameVisualization:
+    """Devkit Visualization2D/3D port (preprocess/vis_frame.py)."""
+
+    @pytest.fixture()
+    def raw_with_image(self, raw_root):
+        from PIL import Image
+
+        img_path = os.path.join(raw_root, "lidar/training/image_2",
+                                "00000.jpg")
+        if not os.path.exists(img_path):
+            rng = np.random.RandomState(0)
+            Image.fromarray(
+                rng.randint(0, 255, (1216, 1936, 3), np.uint8)
+            ).save(img_path)
+        lidar_path = os.path.join(raw_root, "lidar/training/velodyne",
+                                  "00000.bin")
+        if not os.path.exists(lidar_path):
+            rng = np.random.RandomState(1)
+            pts = np.zeros((500, 4), np.float32)
+            pts[:, 0] = rng.uniform(2, 40, 500)
+            pts[:, 1] = rng.uniform(-15, 15, 500)
+            pts[:, 2] = rng.uniform(-1, 2, 500)
+            pts.tofile(lidar_path)
+        return raw_root
+
+    def test_label_parsing_and_corners(self, raw_with_image):
+        from cmflow_tpu.preprocess import vis_frame, vod_io
+
+        loc = vod_io.VodLocations(root_dir=raw_with_image)
+        fr = vod_io.VodFrame(loc, "00000")
+        tf = vod_io.FrameTransforms(loc, "00000")
+        labels = vis_frame.parse_frame_labels(fr.raw_labels)
+        assert len(labels) == 1 and labels[0]["label_class"] == "Car"
+        boxes = vis_frame.label_corners_3d(labels, tf.t_camera_lidar)
+        c = boxes[0]["corners_3d"]
+        assert c.shape == (8, 3)
+        # box dims survive the corner construction
+        l = np.linalg.norm(c[0] - c[3])
+        w = np.linalg.norm(c[0] - c[1])
+        h = np.linalg.norm(c[4] - c[0])
+        np.testing.assert_allclose([l, w, h], [4.0, 2.0, 1.5], atol=1e-6)
+        # bottom-face center lands at the label's position (lidar frame)
+        center = c[:4].mean(0)
+        want = (np.linalg.inv(tf.t_camera_lidar)
+                @ np.array([*[labels[0][k] for k in "xyz"], 1.0]))[:3]
+        np.testing.assert_allclose(center, want, atol=1e-6)
+
+    def test_2d_and_3d_plots_render(self, raw_with_image, tmp_path):
+        from cmflow_tpu.preprocess import vis_frame, vod_io
+
+        loc = vod_io.VodLocations(root_dir=raw_with_image)
+        fr = vod_io.VodFrame(loc, "00000")
+        tf = vod_io.FrameTransforms(loc, "00000")
+
+        p2 = vis_frame.FrameVisualizer2D(fr, tf).draw(
+            str(tmp_path / "overlay.png"), show_lidar=True)
+        assert os.path.getsize(p2) > 1000
+
+        p3 = vis_frame.FrameVisualizer3D(fr, tf, origin="radar").draw(
+            str(tmp_path / "scene3d.png"))
+        assert os.path.getsize(p3) > 1000
+
+
 class TestRaftPort:
     def test_forward_shapes_tiny(self):
         import jax
