@@ -162,16 +162,21 @@ def bench_tpu_train(b, n):
                                    VOD_T_CAMERA_RADAR)
     state, items = step(state, batch)
     float(items["Loss"])  # compile + full sync
-    rtt = _rtt_seconds()
     iters = max(TPU_ITERS // 2, 5)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, items = step(state, batch)
-    float(items["Loss"])  # sync through the chained state
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-    fps = b * iters / dt
-    log(f"tpu train: B={b} N={n} {dt / iters * 1e3:.2f} ms/it "
-        f"-> {fps:.1f} frames/s")
+    ms_passes = []
+    for _ in range(BENCH_PASSES):
+        rtt = _rtt_seconds()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, items = step(state, batch)
+        float(items["Loss"])  # sync through the chained state
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        ms_passes.append(dt / iters * 1e3)
+    ms = float(np.median(ms_passes))
+    spread = (max(ms_passes) - min(ms_passes)) / ms
+    fps = b / ms * 1e3
+    log(f"tpu train: B={b} N={n} {ms:.2f} ms/it median of {BENCH_PASSES} "
+        f"(spread {spread * 100:.0f}%) -> {fps:.1f} frames/s")
     return fps
 
 

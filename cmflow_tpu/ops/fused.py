@@ -429,6 +429,64 @@ def _hilo(x: Array) -> Tuple[Array, Array]:
     return hi, lo
 
 
+def _gather_fwd_kernel(points_ref, idx_ref, out_ref):
+    """One (batch-element, row-tile) step of the MXU gather: a [T, C] tile
+    of gathered rows as ``onehot^T @ points`` (hi/lo bf16, exact to ~2^-16;
+    single pass when points are already bf16).
+
+    XLA's native gather emitter moves one row per cycle group and costs
+    ~3 ms even for a [64,256,32,3] gather whose HBM traffic is <10 us; as
+    an MXU matmul the same gather is bandwidth-bound instead."""
+    n = points_ref.shape[1]
+    t = idx_ref.shape[2]
+    rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
+    oh_t = (rows == idx_ref[0]).astype(jnp.bfloat16)  # [N, T]
+    pts = points_ref[0]
+    dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
+    if pts.dtype == jnp.bfloat16:
+        out = lax.dot_general(oh_t, pts, dim0,
+                              preferred_element_type=jnp.float32)
+    else:
+        hi, lo = _hilo(pts)
+        out = (lax.dot_general(oh_t, hi, dim0,
+                               preferred_element_type=jnp.float32)
+               + lax.dot_general(oh_t, lo, dim0,
+                                 preferred_element_type=jnp.float32))
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def mxu_gather_rows(points: Array, idx: Array,
+                    interpret: bool = False) -> Array:
+    """Gather ``points[b, idx[b, m]]`` -> ``[B, M, C]`` via one-hot MXU
+    matmuls (row tiles of 128 in the lane dimension).
+
+    ``M`` is padded to a multiple of 128 internally; the result is sliced
+    back.  Exact for f32 inputs (hi/lo bf16 split)."""
+    b, n, c = points.shape
+    m = idx.shape[1]
+    tile = min(128, m)
+    pad = (-m) % tile
+    if pad:
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+    mp = m + pad
+
+    out = pl.pallas_call(
+        _gather_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, mp, c), points.dtype),
+        grid=(b, mp // tile),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(points, idx[:, None, :].astype(jnp.int32))
+    return out[:, :m] if pad else out
+
+
 def _gather_bwd_kernel(g_ref, idx_ref, out_ref, *, chunk):
     """Accumulate d_points[b] += onehot_k^T @ g[b, :, k, :] over a k-chunk
     grid dimension (the transpose of the gather — XLA lowers this to a
@@ -442,10 +500,15 @@ def _gather_bwd_kernel(g_ref, idx_ref, out_ref, *, chunk):
     for j in range(chunk):
         idx_j = idx_ref[0, j]  # [1, T] (idx block [1, chunk, 1, T])
         oh_t = (rows == idx_j).astype(jnp.bfloat16)  # [N, T]
-        hi, lo = _hilo(g_ref[0, :, j, :])
-        part = (part
-                + jnp.dot(oh_t, hi, preferred_element_type=jnp.float32)
-                + jnp.dot(oh_t, lo, preferred_element_type=jnp.float32))
+        gj = g_ref[0, :, j, :]
+        if gj.dtype == jnp.bfloat16:
+            part = part + jnp.dot(oh_t, gj,
+                                  preferred_element_type=jnp.float32)
+        else:
+            hi, lo = _hilo(gj)
+            part = (part
+                    + jnp.dot(oh_t, hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(oh_t, lo, preferred_element_type=jnp.float32))
 
     @pl.when(kc == 0)
     def _():
@@ -479,24 +542,30 @@ def _mxu_gather_bwd(n: int, idx: Array, g: Array, interpret: bool) -> Array:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def mxu_group_points(points: Array, idx: Array,
                      interpret: bool = False) -> Array:
-    """``group_points`` whose *backward* is an exact one-hot MXU matmul.
+    """``group_points`` where BOTH directions are exact one-hot MXU matmuls.
 
-    Forward is the plain XLA gather (bit-exact, well fused); the backward
-    replaces XLA's serial scatter-add with a transpose matmul (hi/lo bf16
-    split, exact to ~2^-16 relative).  Intended for wide channel counts
-    (C a multiple of 128) on TPU — ``pointops.group_points`` routes here
-    automatically.
+    Forward: XLA's gather emitter costs ~3 ms per [64,256,K,C] gather even
+    at C=3 (row-at-a-time), where the MXU tile gather is bandwidth-bound
+    (~20 ms -> ~3 ms of the train step).  Backward: XLA lowers the gather
+    transpose to a serial scatter-add that is ~7x slower than the
+    transpose matmul at C=512.  Both are exact (hi/lo bf16 split,
+    ~2^-16 relative).  ``pointops.group_points`` routes here on TPU.
     """
-    return jax.vmap(lambda p, i: p[i])(points, idx)
+    b, s, k = idx.shape
+    flat = mxu_gather_rows(points, idx.reshape(b, s * k), interpret)
+    return flat.reshape(b, s, k, points.shape[2])
 
 
 def _mxu_group_fwd(points, idx, interpret):
-    return mxu_group_points(points, idx, interpret), (points.shape[1], idx)
+    # zero-size residual carries the primal dtype (dtypes themselves are
+    # not JAX types)
+    return (mxu_group_points(points, idx, interpret),
+            (points.shape[1], jnp.zeros((0,), points.dtype), idx))
 
 
 def _mxu_group_bwd(interpret, res, g):
-    n, idx = res
-    return _mxu_gather_bwd(n, idx, g, interpret), None
+    n, proto, idx = res
+    return _mxu_gather_bwd(n, idx, g, interpret).astype(proto.dtype), None
 
 
 mxu_group_points.defvjp(_mxu_group_fwd, _mxu_group_bwd)

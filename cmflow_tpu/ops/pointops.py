@@ -157,10 +157,11 @@ def group_points(points: Array, idx: Array) -> Array:
     Equivalent of ``grouping_operation`` (lib/pointnet2_utils.py:184-225,
     group_points_gpu.cu) — but channels-last and differentiable natively.
 
-    On TPU, wide-channel gathers route to the MXU one-hot implementation
-    (:func:`cmflow_tpu.ops.fused.mxu_group_points`): XLA lowers the gather
-    transpose (the backward) to a serial scatter-add that is ~7x slower
-    than the equivalent transpose matmul at C=512.
+    On TPU, gathers route to the MXU one-hot implementation
+    (:func:`cmflow_tpu.ops.fused.mxu_group_points`): XLA's gather emitter
+    moves ~a row per cycle group (~3 ms for a [64,256,32,C] gather at any
+    C) and lowers the gather transpose (the backward) to a serial
+    scatter-add ~7x slower than the transpose matmul at C=512.
 
     Args:
       points: ``[B, N, C]``.
@@ -168,9 +169,9 @@ def group_points(points: Array, idx: Array) -> Array:
     Returns:
       ``[B, S, K, C]``.
     """
-    n, c = points.shape[1], points.shape[2]
-    if (jax.default_backend() == "tpu" and c % 128 == 0 and n <= 512
-            and points.dtype == jnp.float32):
+    n = points.shape[1]
+    if (jax.default_backend() == "tpu" and n <= 512
+            and points.dtype in (jnp.float32, jnp.bfloat16)):
         from cmflow_tpu.ops.fused import mxu_group_points
 
         return mxu_group_points(points, idx)

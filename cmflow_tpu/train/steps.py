@@ -47,9 +47,14 @@ def _frame_loss(
     vr_thres: float,
     gfeat: Optional[Array] = None,
     axis_name: Optional[str] = None,
+    fused: bool = False,
 ):
     """Label generation + forward + composite loss for one frame pair.
-    Returns (loss, (items, new_batch_stats, gfeat_new))."""
+    Returns (loss, (items, new_batch_stats, gfeat_new)).
+
+    With ``fused`` true (cmflow only), the forward runs through the
+    recompute-VJP Pallas training engine (models/train_fused.py) instead
+    of ``model.apply`` — same math, no [B,N,K,C] HBM materialization."""
     pc1, pc2 = batch["pc1"], batch["pc2"]
     ft1, ft2 = batch["ft1"], batch["ft2"]
     vel1 = ft1[..., 0]
@@ -75,10 +80,22 @@ def _frame_loss(
     mseg_gt = labelgen.merge_mseg_labels(mseg_rrv, dyn_mask)
 
     if model_name == "cmflow":
-        outs, mut = model.apply(
-            variables, pc1, pc2, ft1, ft2, mseg_gt, True,
-            mutable=["batch_stats"],
-        )
+        if fused:
+            from cmflow_tpu.models.train_fused import cmflow_train_apply
+
+            outs, new_stats = cmflow_train_apply(
+                variables, pc1, pc2, ft1, ft2, mseg_gt,
+                stat_thres=model.stat_thres, cfg=model.cfg,
+                axis_name=axis_name,
+                # off-TPU (CPU tests) the kernels run interpreted
+                interpret=jax.default_backend() != "tpu",
+            )
+            mut = {"batch_stats": new_stats}
+        else:
+            outs, mut = model.apply(
+                variables, pc1, pc2, ft1, ft2, mseg_gt, True,
+                mutable=["batch_stats"],
+            )
         pred_f, mseg_pre, pre_trans, _ = outs
         gfeat_new = None
     elif model_name == "cmflow_t":
@@ -101,6 +118,16 @@ def _frame_loss(
     return loss, (items, mut["batch_stats"], gfeat_new)
 
 
+def _use_fused_train(model_name: str, fused: str) -> bool:
+    """Fused-training routing: "auto" = Pallas train engine on TPU for the
+    models it covers; flax elsewhere."""
+    if model_name != "cmflow":
+        return False
+    if fused == "auto":
+        return jax.default_backend() == "tpu"
+    return fused in ("on", "true", "1", True)
+
+
 def make_train_step(
     model_name: str,
     model,
@@ -108,17 +135,19 @@ def make_train_step(
     calib_t_camera_radar: np.ndarray,
     vr_thres: float = 0.3,
     mesh=None,
+    fused: str = "auto",
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Array]]]:
     """Build the jitted per-batch train step for frame-pair models."""
     proj = jnp.asarray(calib_projection)
     tcr = jnp.asarray(calib_t_camera_radar)
     axis = DATA_AXIS if mesh is not None else None
+    use_fused = _use_fused_train(model_name, fused)
 
     def step(state: TrainState, batch: Batch):
         def loss_fn(params):
             return _frame_loss(
                 model_name, model, params, state.batch_stats, batch,
-                proj, tcr, vr_thres, axis_name=axis,
+                proj, tcr, vr_thres, axis_name=axis, fused=use_fused,
             )
 
         (_, (items, new_stats, _)), grads = jax.value_and_grad(

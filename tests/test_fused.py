@@ -235,29 +235,48 @@ class TestMxuGroupPoints:
     def test_forward_matches_gather(self, rng):
         from cmflow_tpu.ops.fused import mxu_group_points
 
-        b, n, k, c = 2, 64, 8, 128
-        pts = jnp.asarray(rng.randn(b, n, c).astype(np.float32) * 10)
+        # C covers narrow (3: xyz rel), mid (32: sa feats), lane-full
+        # (128); K=5 exercises the internal pad-to-128 of M = S*K
+        for c, k in ((3, 8), (32, 5), (128, 8)):
+            b, n = 2, 64
+            pts = jnp.asarray(rng.randn(b, n, c).astype(np.float32) * 10)
+            idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
+            want = jax.vmap(lambda p, i: p[i])(pts, idx)
+            got = mxu_group_points(pts, idx, True)
+            # hi/lo bf16 one-hot gather is exact to ~2^-16 relative
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-5, atol=2e-4)
+
+    def test_forward_bf16_single_pass(self, rng):
+        from cmflow_tpu.ops.fused import mxu_group_points
+
+        b, n, k, c = 2, 64, 8, 32
+        pts = jnp.asarray(
+            rng.randn(b, n, c).astype(np.float32)).astype(jnp.bfloat16)
         idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
         want = jax.vmap(lambda p, i: p[i])(pts, idx)
         got = mxu_group_points(pts, idx, True)
-        # forward is the plain XLA gather — bit-exact
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert got.dtype == jnp.bfloat16
+        # bf16 one-hot gather of bf16 values is an exact permutation
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32))
 
     def test_backward_matches_scatter(self, rng):
         from cmflow_tpu.ops.fused import mxu_group_points
 
-        b, n, k, c = 2, 64, 8, 128
-        pts = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
-        idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
-        cot = jnp.asarray(rng.randn(b, n, k, c).astype(np.float32))
+        for c in (3, 32, 128):
+            b, n, k = 2, 64, 8
+            pts = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+            idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
+            cot = jnp.asarray(rng.randn(b, n, k, c).astype(np.float32))
 
-        def ref_loss(p):
-            return jnp.sum(jax.vmap(lambda pp, i: pp[i])(p, idx) * cot)
+            def ref_loss(p):
+                return jnp.sum(jax.vmap(lambda pp, i: pp[i])(p, idx) * cot)
 
-        def mxu_loss(p):
-            return jnp.sum(mxu_group_points(p, idx, True) * cot)
+            def mxu_loss(p):
+                return jnp.sum(mxu_group_points(p, idx, True) * cot)
 
-        g_ref = jax.grad(ref_loss)(pts)
-        g_mxu = jax.grad(mxu_loss)(pts)
-        np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
-                                   rtol=1e-3, atol=1e-3)
+            g_ref = jax.grad(ref_loss)(pts)
+            g_mxu = jax.grad(mxu_loss)(pts)
+            np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
+                                       rtol=1e-3, atol=1e-3)
