@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cmflow_tpu.geometry import se3
@@ -126,9 +127,135 @@ def _plf_train(sp, ss, radius, nsample, xyz, feats, valid, axis_name,
     return h, new_ss
 
 
+def _mse_train_packed(mse_p, mse_s, radii, nsamples, xyz, feats, valid,
+                      axis_name, interpret):
+    """Narrow MultiScaleEncoder train forward — ALL scales in packed
+    block-diagonal kernels with the stacked-base gather (the per-scale
+    path runs latency-bound at <=12% MXU lane utilization)."""
+    from jax.scipy.linalg import block_diag
+
+    from cmflow_tpu.ops.fused import (center_xyz, make_mse_base,
+                                      shift_idx_stack)
+    from cmflow_tpu.ops.fused_train import mse_apply, mse_prebn_stats
+
+    s_cnt = len(radii)
+    b, n, _ = feats.shape
+    idx_list = [pointops.ball_query(r, k, xyz, xyz, valid)
+                for r, k in zip(radii, nsamples)]
+    scales_p = [mse_p[f"scale_{s}"] for s in range(s_cnt)]
+    scales_s = [mse_s[f"scale_{s}"] for s in range(s_cnt)]
+    w0r_list = [sp["w0"][:3] for sp in scales_p]
+    w0f_list = [sp["w0"][3:] for sp in scales_p]
+
+    xyz_c = center_xyz(xyz)
+    base = make_mse_base(feats, xyz_c, w0r_list, w0f_list)
+    w0r_cat = jnp.concatenate(w0r_list, axis=1)
+    idx_sh = shift_idx_stack(idx_list, tuple(nsamples), n)
+
+    def bn_of(layer, sp, ss):
+        if layer == 0:
+            return sp["bn0"], ss["bn0"]
+        return sp["mlp"][f"bn_{layer - 1}"], ss["mlp"][f"bn_{layer - 1}"]
+
+    num_layers = 1 + len(
+        [k for k in scales_p[0].get("mlp", {}) if k.startswith("dense_")])
+    ws_bd = [None] + [
+        block_diag(*[sp["mlp"][f"dense_{i}"]["kernel"] for sp in scales_p])
+        for i in range(num_layers - 1)]
+    widths = tuple(
+        sum(bn_of(layer, sp, ss)[0]["scale"].shape[0]
+            for sp, ss in zip(scales_p, scales_s))
+        for layer in range(num_layers))
+    nsamples = tuple(nsamples)
+
+    affines = []
+    prev: Tuple[Array, ...] = ()
+    mus, vars = [], []
+    for layer in range(num_layers):
+        ssum, ssq = mse_prebn_stats(layer, interpret, nsamples, widths,
+                                    base, idx_sh, xyz_c, w0r_cat, *prev)
+        # per-channel counts differ per scale block: B*N*K_s
+        each = widths[layer] // s_cnt
+        cnt = jnp.asarray(
+            np.repeat(np.asarray(nsamples, np.float64) * b * n, each)
+            .astype(np.float32))
+        mu = _pmean(ssum / cnt, axis_name)
+        mu2 = _pmean(ssq / cnt, axis_name)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        mus.append(mu)
+        vars.append(var)
+        gamma = jnp.concatenate(
+            [bn_of(layer, sp, ss)[0]["scale"]
+             for sp, ss in zip(scales_p, scales_s)])
+        beta = jnp.concatenate(
+            [bn_of(layer, sp, ss)[0]["bias"]
+             for sp, ss in zip(scales_p, scales_s)])
+        sc = gamma * lax.rsqrt(var + EPS)
+        bi = beta - mu * sc
+        affines += [sc, bi]
+        if layer < num_layers - 1:
+            affines.append(ws_bd[layer + 1])
+            prev = tuple(affines)
+
+    out_each = widths[-1] // s_cnt
+    h = mse_apply(interpret, nsamples, out_each, base, idx_sh, xyz_c,
+                  w0r_cat, *affines)
+
+    # packed per-point mlp2 tail (block-diagonal Dense + train BN; channel
+    # blocks stay in scale order, matching the flax concat)
+    num_mlp2 = len(
+        [k for k in scales_p[0]["mlp2"] if k.startswith("dense_")])
+    mlp2_mus, mlp2_vars = [], []
+    for i in range(num_mlp2):
+        w_bd = block_diag(
+            *[sp["mlp2"][f"dense_{i}"]["kernel"] for sp in scales_p])
+        h = h @ w_bd
+        gamma = jnp.concatenate(
+            [sp["mlp2"][f"bn_{i}"]["scale"] for sp in scales_p])
+        beta = jnp.concatenate(
+            [sp["mlp2"][f"bn_{i}"]["bias"] for sp in scales_p])
+        axes = tuple(range(h.ndim - 1))
+        mu = _pmean(jnp.mean(h, axis=axes), axis_name)
+        mu2 = _pmean(jnp.mean(h * h, axis=axes), axis_name)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        mlp2_mus.append(mu)
+        mlp2_vars.append(var)
+        h = jnp.maximum(
+            (h - mu) * lax.rsqrt(var + EPS) * gamma + beta, 0.0)
+
+    # slice the packed batch stats back into per-scale trees
+    new_s = {}
+    for s in range(s_cnt):
+        sp, ss = scales_p[s], scales_s[s]
+        tree = {"mlp": {}, "mlp2": {}}
+        for layer in range(num_layers):
+            each = widths[layer] // s_cnt
+            sl = slice(s * each, (s + 1) * each)
+            upd = _bn_update(bn_of(layer, sp, ss)[1],
+                             mus[layer][sl], vars[layer][sl])
+            if layer == 0:
+                tree["bn0"] = upd
+            else:
+                tree["mlp"][f"bn_{layer - 1}"] = upd
+        for i in range(num_mlp2):
+            each = mlp2_mus[i].shape[0] // s_cnt
+            sl = slice(s * each, (s + 1) * each)
+            tree["mlp2"][f"bn_{i}"] = _bn_update(
+                ss["mlp2"][f"bn_{i}"], mlp2_mus[i][sl], mlp2_vars[i][sl])
+        new_s[f"scale_{s}"] = tree
+    return h, new_s
+
+
 def _mse_train(mse_p, mse_s, radii, nsamples, xyz, feats, valid, axis_name,
                interpret):
-    """MultiScaleEncoder train forward; returns (h, new_stats)."""
+    """MultiScaleEncoder train forward; returns (h, new_stats).
+
+    Narrow encoders (per-scale C1 < 128: the sa encoder) run ALL scales
+    through the packed stacked-base kernels; wide ones (the propagation
+    encoder, C1=512) per scale."""
+    if mse_p["scale_0"]["w0"].shape[1] < 128:
+        return _mse_train_packed(mse_p, mse_s, radii, nsamples, xyz,
+                                 feats, valid, axis_name, interpret)
     outs, new_s = [], {}
     for i, (r, k) in enumerate(zip(radii, nsamples)):
         h, s_i = _plf_train(mse_p[f"scale_{i}"], mse_s[f"scale_{i}"],

@@ -38,7 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _plf_kernel(feat_ref, idx_ref, xyz_ref, xyzt_ref, wrel_ref, *rest,
+def _tile_offset(xyzt_ref, wrel_ref):
+    """``xyz_tile @ wrel`` to ~2^-16 (hi/lo on both operands, dropping the
+    lo*lo term) — Mosaic rejects lax.Precision.HIGH, and the default
+    single bf16 pass would lose ~2^-8 of large absolute coordinates that
+    mostly cancel against the gathered term."""
+    xyz_t = xyzt_ref[0].astype(jnp.float32)  # [T, 3]
+    xt_hi, xt_lo = _hilo(xyz_t)
+    w32 = wrel_ref[:].astype(jnp.float32)
+    w_hi, w_lo = _hilo(w32)
+    return (jnp.dot(xt_hi, w_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(xt_hi, w_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(xt_lo, w_hi, preferred_element_type=jnp.float32))
+
+
+def _plf_kernel(base_ref, idx_ref, xyzt_ref, wrel_ref, *rest,
                 num_layers, nsample):
     """One (batch-element, row-tile) step of the fused encoder.
 
@@ -51,61 +65,51 @@ def _plf_kernel(feat_ref, idx_ref, xyz_ref, xyzt_ref, wrel_ref, *rest,
     and the tiny trailing dim sits in sublanes, padded to 8 — a
     trailing-lane layout would pad it to 128 and blow the VMEM budget
     (measured: 2 MB per operand at T=128).  The transposed one-hot is
-    contracted over its leading dim — ``onehot^T @ feat`` — a clean MXU
+    contracted over its leading dim — ``onehot^T @ base`` — a clean MXU
     shape; the gather is *exact*: each output row sums exactly one nonzero
     product.
 
-    Relative offsets are NOT an input: the kernel gathers xyz with the
-    same one-hot and subtracts the tile's own coordinates — the XLA-side
-    ``[B,N,K,3]`` neighborhood tensor (HBM round-trip + layout transposes)
-    never exists.
+    Neighborhood offsets are FOLDED into the gather: since the grouped
+    first layer only ever uses ``rel @ wrel``, associativity gives
+    ``gather(feat_tx)[k] + (xyz[idx]-xyz_t) @ wrel
+      = gather(feat_tx + xyz @ wrel)[k] - xyz_t @ wrel``,
+    so the caller passes ``base = feat_tx + xyz @ wrel`` and the kernel
+    subtracts the per-tile constant ``off = xyz_t @ wrel`` — ONE hi/lo
+    gather per k instead of two (feat + xyz), the dominant MXU cost
+    (measured: the xyz gather lane-pads 3 -> 128 and costs as much as a
+    full-width pass).
     """
     out_ref = rest[-1]
     affines = rest[:-1]
 
-    n = feat_ref.shape[1]
+    n = base_ref.shape[1]
     t = idx_ref.shape[3]
     c_out = out_ref.shape[2]
 
     rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
-    feat = feat_ref[0]
-    # xyz gathered hi/lo (exact to ~2^-16) in every mode — geometry
-    # precision feeds the first layer directly
-    xyz32 = xyz_ref[0].astype(jnp.float32)  # [N, 3]
-    xyz_hi = xyz32.astype(jnp.bfloat16)
-    xyz_lo = (xyz32 - xyz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xyz_t = xyzt_ref[0].astype(jnp.float32)  # [T, 3]
-    wrel = wrel_ref[:]
-    bf16_mode = feat.dtype == jnp.bfloat16
+    base = base_ref[0]
+    off = _tile_offset(xyzt_ref, wrel_ref)  # [T, C1], per tile not per k
 
-    if bf16_mode:
-        # bf16 serving: features arrive pre-rounded; one MXU pass per gather
-        feat_hi, feat_lo = feat, None
+    if base.dtype == jnp.bfloat16:
+        # bf16 serving: base arrives pre-rounded; one MXU pass per gather
+        base_hi, base_lo = base, None
     else:
         # hi/lo split: two single-pass bf16 one-hot matmuls reconstruct the
-        # f32 feature values to ~2^-16 relative (one MXU pass each; the
-        # compiler's HIGHEST would use six).  The one-hot lhs is exact.
-        feat_hi = feat.astype(jnp.bfloat16)
-        feat_lo = (feat - feat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # f32 values to ~2^-16 relative (the compiler's HIGHEST would use
+        # six).  The one-hot lhs is exact in bf16.
+        base_hi, base_lo = _hilo(base)
 
     dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
 
     def body(kk, acc):
         idx_k = idx_ref[0, kk]  # [1, T]
         oh_t = (rows == idx_k).astype(jnp.bfloat16)  # [N, T]
-        g = lax.dot_general(oh_t, feat_hi, dim0,
+        g = lax.dot_general(oh_t, base_hi, dim0,
                             preferred_element_type=jnp.float32)
-        if feat_lo is not None:
-            g = g + lax.dot_general(oh_t, feat_lo, dim0,
+        if base_lo is not None:
+            g = g + lax.dot_general(oh_t, base_lo, dim0,
                                     preferred_element_type=jnp.float32)
-        # rel = xyz[idx_k] - xyz_tile (hi/lo one-hot gather)
-        gx = (lax.dot_general(oh_t, xyz_hi, dim0,
-                              preferred_element_type=jnp.float32)
-              + lax.dot_general(oh_t, xyz_lo, dim0,
-                                preferred_element_type=jnp.float32))
-        rel_k = (gx - xyz_t).astype(wrel.dtype)  # [T, 3]
-        x = g + jnp.dot(rel_k, wrel,
-                        preferred_element_type=jnp.float32)
+        x = g - off
 
         # [affine BN -> ReLU -> Dense] chain (affines applied in f32;
         # matmul inputs in the weights' dtype — bf16 halves MXU passes)
@@ -123,6 +127,25 @@ def _plf_kernel(feat_ref, idx_ref, xyz_ref, xyzt_ref, wrel_ref, *rest,
 
     init = jnp.full((t, c_out), -jnp.inf, jnp.float32)
     out_ref[0] = lax.fori_loop(0, nsample, body, init)
+
+
+def center_xyz(xyz: Array) -> Array:
+    """Subtract the per-cloud centroid before folding coordinates into the
+    gathered base.  The centering cancels exactly in the kernels'
+    ``gather(base) - off`` (both terms shift by ``c @ wrel``), but the
+    ~2^-16 hi/lo rounding acts on the folded magnitudes — centering keeps
+    them at scene-extent scale instead of absolute-coordinate scale."""
+    return xyz - jnp.mean(xyz, axis=1, keepdims=True)
+
+
+def make_plf_base(feat_tx: Array, xyz: Array, wrel: Array) -> Array:
+    """``feat_tx + xyz @ wrel`` with an exact f32 product (the offset
+    subtraction in-kernel cancels large coordinate terms; default XLA
+    precision would lose ~2^-8 of them)."""
+    prod = lax.dot_general(
+        xyz.astype(jnp.float32), wrel.astype(jnp.float32),
+        (((2,), (0,)), ((), ())), precision=lax.Precision.HIGHEST)
+    return (feat_tx.astype(jnp.float32) + prod).astype(feat_tx.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -161,14 +184,14 @@ def fused_point_local_feature(
 
     # k-major, tile-in-lanes layout (see kernel docstring)
     idx_km = jnp.swapaxes(idx, 1, 2)[:, :, None, :]  # [B, K, 1, N]
+    xyz_c = center_xyz(xyz)
+    base = make_plf_base(feat_tx, xyz_c, params[0])
 
     grid = (b, n // tile)
     in_specs = [
         pl.BlockSpec((1, n, c1), lambda bi, ti: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, k, 1, tile), lambda bi, ti: (bi, 0, 0, ti),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, 3), lambda bi, ti: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
@@ -189,54 +212,75 @@ def fused_point_local_feature(
                                lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(feat_tx, idx_km, xyz, xyz, *params)
+    )(base, idx_km, xyz_c, *params)
     return out
 
 
-def _mse_kernel(feat_ref, *rest, num_scales, nsamples, out_each):
+def make_mse_base(feats, xyz, w0rel_list, w0feat_list, dtype=jnp.float32):
+    """Stacked block-diagonal base for the one-matmul multi-scale gather.
+
+    Returns ``[B, S*N, C1c]``: rows ``s*N..(s+1)*N`` hold scale s's folded
+    first-layer values ``feats @ w0f_s + xyz @ w0r_s`` in channel block s,
+    zeros elsewhere.  Because per-scale shifted indices land in disjoint
+    row ranges and the blocks are column-disjoint, ONE one-hot matmul per
+    k gathers ALL scales' pre-activations at full MXU width (the previous
+    per-scale gathers cost ~24 lane-padded passes per k; this costs 2).
+
+    The xyz product is exact f32 (the in-kernel per-tile offset
+    subtraction cancels large coordinate terms — default single-pass bf16
+    would lose ~2^-8 of them)."""
+    b, n, _ = feats.shape
+    c1c = sum(w.shape[1] for w in w0rel_list)
+    parts = []
+    start = 0
+    for w0r, w0f in zip(w0rel_list, w0feat_list):
+        c = w0r.shape[1]
+        prod = lax.dot_general(
+            xyz.astype(jnp.float32), w0r.astype(jnp.float32),
+            (((2,), (0,)), ((), ())), precision=lax.Precision.HIGHEST)
+        ftx = lax.dot_general(
+            feats.astype(jnp.float32), w0f.astype(jnp.float32),
+            (((2,), (0,)), ((), ())), precision=lax.Precision.HIGHEST)
+        blk = jnp.pad(ftx + prod, ((0, 0), (0, 0), (start, c1c - start - c)))
+        parts.append(blk)
+        start += c
+    return jnp.concatenate(parts, axis=1).astype(dtype)
+
+
+def _mse_kernel(base_ref, idx_ref, xyzt_ref, w0r_ref, *rest,
+                num_scales, nsamples, out_each):
     """Fused narrow MultiScaleEncoder: ALL scales of one encoder in one
-    kernel, with per-scale weights packed block-diagonally so every matmul
-    runs at full 128-lane MXU width.
+    kernel, block-diagonally packed so every matmul runs at full 128-lane
+    MXU width.
 
-    The per-scale kernels are tiny for the sa encoder (C=32..64 →
-    ~12% MXU lane utilization, measured 13.6 ms of the 34 ms eval);
-    packing the 4 scales' chains into [128,128]/[128,256] block-diagonal
-    matmuls recovers full tiles.  Scales keep disjoint channel blocks
-    through the whole chain (block-diagonal weights, per-channel affines),
-    so the math per scale is unchanged; iterations k >= nsample_s are
-    masked to -inf for scale s's output block before the running max.
+    The per-scale kernels are tiny for the sa encoder (C=32..64 ->
+    ~12% MXU lane utilization); packing the scales' chains into
+    [128,128]/[128,256] block-diagonal matmuls recovers full tiles, and
+    the STACKED base (see :func:`make_mse_base`) turns the S per-scale
+    neighborhood gathers into ONE [S*N, T]^T @ [S*N, C1c] matmul per k.
+    Scales keep disjoint channel blocks through the whole chain, so the
+    math per scale is unchanged; iterations k >= nsample_s are masked to
+    -inf for scale s's output block before the running max.
 
-    rest = idx_0..S-1 [1,Kmax,1,T], xyz [1,N,3], xyzt [1,T,3],
-           w0rel_0..S-1 [3,C1c], w0feat_0..S-1 [Cf,C1c],
-           s0, b0, w1bd, s1, b1, w2bd, s2, b2, out_ref
-
-    Relative offsets are computed in-kernel from xyz (hi/lo one-hot
-    gather), like :func:`_plf_kernel`.
+    rest = s0, b0, w1bd, s1, b1, w2bd, s2, b2, out_ref;
+    idx_ref is ``[1, Kmax, S, T]`` with per-scale indices SHIFTED by s*N.
     """
     s_cnt = num_scales
-    idx_refs = rest[:s_cnt]
-    xyz_ref, xyzt_ref = rest[s_cnt], rest[s_cnt + 1]
-    w0rel_refs = rest[s_cnt + 2:2 * s_cnt + 2]
-    w0feat_refs = rest[2 * s_cnt + 2:3 * s_cnt + 2]
     (s0_ref, b0_ref, w1_ref, s1_ref, b1_ref,
-     w2_ref, s2_ref, b2_ref, out_ref) = rest[3 * s_cnt + 2:]
+     w2_ref, s2_ref, b2_ref, out_ref) = rest
 
-    n = feat_ref.shape[1]
-    t = idx_refs[0].shape[3]
+    sn = base_ref.shape[1]  # S * N
+    t = idx_ref.shape[3]
     c_out = out_ref.shape[2]
     kmax = max(nsamples)
 
-    rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
-    feat = feat_ref[0]
-    xyz32 = xyz_ref[0].astype(jnp.float32)
-    xyz_hi = xyz32.astype(jnp.bfloat16)
-    xyz_lo = (xyz32 - xyz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xyz_t = xyzt_ref[0].astype(jnp.float32)
-    if feat.dtype == jnp.bfloat16:
-        feat_hi, feat_lo = feat, None
+    rows = lax.broadcasted_iota(jnp.int32, (sn, t), dimension=0)
+    base = base_ref[0]
+    off = _tile_offset(xyzt_ref, w0r_ref)  # [T, C1c]
+    if base.dtype == jnp.bfloat16:
+        base_hi, base_lo = base, None
     else:
-        feat_hi = feat.astype(jnp.bfloat16)
-        feat_lo = (feat - feat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        base_hi, base_lo = _hilo(base)
 
     w1 = w1_ref[:]
     w2 = w2_ref[:]
@@ -251,27 +295,17 @@ def _mse_kernel(feat_ref, *rest, num_scales, nsamples, out_each):
     dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
 
     def body(kk, acc):
-        x = None
-        for s in range(s_cnt):
-            idx_k = idx_refs[s][0, kk]  # [1, T]
-            oh_t = (rows == idx_k).astype(jnp.bfloat16)  # [N, T]
-            g = lax.dot_general(oh_t, feat_hi, dim0,
-                                preferred_element_type=jnp.float32)
-            if feat_lo is not None:
-                g = g + lax.dot_general(oh_t, feat_lo, dim0,
-                                        preferred_element_type=jnp.float32)
-            w0f = w0feat_refs[s][:]
-            w0r = w0rel_refs[s][:]
-            gx = (lax.dot_general(oh_t, xyz_hi, dim0,
-                                  preferred_element_type=jnp.float32)
-                  + lax.dot_general(oh_t, xyz_lo, dim0,
-                                    preferred_element_type=jnp.float32))
-            rel_k = (gx - xyz_t).astype(w0r.dtype)  # [T, 3]
-            contrib = (jnp.dot(g.astype(w0f.dtype), w0f,
-                               preferred_element_type=jnp.float32)
-                       + jnp.dot(rel_k, w0r,
-                                 preferred_element_type=jnp.float32))
-            x = contrib if x is None else x + contrib
+        idxs = idx_ref[0, kk]  # [S, T], shifted by s*N
+        oh = rows == idxs[0]
+        for s in range(1, s_cnt):
+            oh = jnp.logical_or(oh, rows == idxs[s])
+        oh_t = oh.astype(jnp.bfloat16)  # [S*N, T]
+        x = lax.dot_general(oh_t, base_hi, dim0,
+                            preferred_element_type=jnp.float32)
+        if base_lo is not None:
+            x = x + lax.dot_general(oh_t, base_lo, dim0,
+                                    preferred_element_type=jnp.float32)
+        x = x - off
         x = jnp.maximum(x * s0_ref[:] + b0_ref[:], 0.0)
         x = jnp.dot(x.astype(w1.dtype), w1,
                     preferred_element_type=jnp.float32)
@@ -286,12 +320,28 @@ def _mse_kernel(feat_ref, *rest, num_scales, nsamples, out_each):
     out_ref[0] = lax.fori_loop(0, kmax, body, init)
 
 
+def shift_idx_stack(idx_list, nsamples, n):
+    """Per-scale ``[B, N, K_s]`` indices -> ``[B, Kmax, S, N]`` k-major
+    stack with scale s's indices shifted by ``s*n`` (rows of the stacked
+    base).  Padded k slots keep in-range values; the kernels mask them."""
+    kmax = max(nsamples)
+    cols = []
+    for s, idx in enumerate(idx_list):
+        i2 = jnp.swapaxes(idx, 1, 2) + s * n  # [B, K, N]
+        pad = kmax - idx.shape[2]
+        if pad:
+            i2 = jnp.pad(i2, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=s * n)
+        cols.append(i2)
+    return jnp.stack(cols, axis=2)  # [B, Kmax, S, N]
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def fused_multi_scale_encoder(
     feats: Array,
     idx_list: Sequence[Array],
     xyz: Array,
-    packed: Tuple[Array, ...],
+    packed: Tuple,
     nsamples: Tuple[int, ...] = (),
     interpret: bool = False,
     out_each: int = 64,
@@ -299,13 +349,11 @@ def fused_multi_scale_encoder(
     """All scales of a narrow MultiScaleEncoder fused into one kernel.
 
     Args:
-      feats: ``[B, N, Cf]`` raw per-point features (pre-w0; the kernel
-        gathers these once per scale and applies each scale's factored
-        first layer inside).
+      feats: ``[B, N, Cf]`` raw per-point features.
       idx_list: per scale, ``[B, N, K_s]`` ball-query indices.
-      xyz: ``[B, N, 3]`` coordinates (offsets computed in-kernel).
-      packed: ``(w0rel_0..S-1, w0feat_0..S-1, s0, b0, w1bd, s1, b1, w2bd,
-        s2, b2)`` from :func:`mse_narrow_params_from_variables`.
+      xyz: ``[B, N, 3]`` coordinates.
+      packed: ``(w0rel_raw tuple, w0feat_raw tuple, s0, b0, w1bd, s1, b1,
+        w2bd, s2, b2)`` from :func:`mse_narrow_params_from_variables`.
       nsamples: static per-scale K.
       out_each: channels per scale in the output (= mlp[-1]).
 
@@ -313,6 +361,8 @@ def fused_multi_scale_encoder(
       ``[B, N, S*mlp[-1]]`` concatenated max-pooled features (pre-mlp2),
       channel blocks in scale order.
     """
+    w0rel_list, w0feat_list = packed[0], packed[1]
+    chain = packed[2:]
     s_cnt = len(idx_list)
     b, n, _ = feats.shape
     kmax = max(nsamples)
@@ -321,30 +371,26 @@ def fused_multi_scale_encoder(
     tile = n if n <= 128 else 128
     assert n % tile == 0, (n, tile)
 
-    idx_km = []
-    for idx in idx_list:
-        k = idx.shape[2]
-        pad = kmax - k
-        i2 = jnp.swapaxes(idx, 1, 2)[:, :, None, :]  # [B, K, 1, N]
-        if pad:
-            # padded iterations are masked to -inf by the kernel; values
-            # only need to be in range
-            i2 = jnp.pad(i2, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        idx_km.append(i2)
+    xyz_c = center_xyz(xyz)
+    base = make_mse_base(feats, xyz_c, w0rel_list, w0feat_list, feats.dtype)
+    idx_sh = shift_idx_stack(idx_list, nsamples, n)
+    w0r_cat = jnp.concatenate(
+        [w.astype(jnp.float32) for w in w0rel_list], axis=1)  # [3, C1c]
+    c1c = w0r_cat.shape[1]
 
     grid = (b, n // tile)
-    in_specs = [pl.BlockSpec((1, n, feats.shape[2]),
-                             lambda bi, ti: (bi, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    for _ in range(s_cnt):
-        in_specs.append(pl.BlockSpec((1, kmax, 1, tile),
-                                     lambda bi, ti: (bi, 0, 0, ti),
-                                     memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, n, 3), lambda bi, ti: (bi, 0, 0),
-                                 memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
-                                 memory_space=pltpu.VMEM))
-    for p in packed:
+    in_specs = [
+        pl.BlockSpec((1, s_cnt * n, c1c), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kmax, s_cnt, tile),
+                     lambda bi, ti: (bi, 0, 0, ti),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w0r_cat.shape, lambda bi, ti: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for p in chain:
         nd = p.ndim
         in_specs.append(pl.BlockSpec(p.shape,
                                      (lambda bi, ti, _nd=nd: (0,) * _nd),
@@ -360,7 +406,7 @@ def fused_multi_scale_encoder(
                                lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(feats, *idx_km, xyz, xyz, *packed)
+    )(base, idx_sh, xyz_c, w0r_cat, *chain)
 
 
 def mse_narrow_params_from_variables(mse_params, mse_stats, num_scales,
@@ -368,9 +414,10 @@ def mse_narrow_params_from_variables(mse_params, mse_stats, num_scales,
     """Pack a narrow MultiScaleEncoder's per-scale params into the
     block-diagonal layout of :func:`fused_multi_scale_encoder`.
 
-    Returns ``(packed, mlp2_bd)`` where ``mlp2_bd`` is a list of
-    ``(w_blockdiag, scale, bias)`` for the per-point mlp2 tail (full-width
-    matmuls in XLA glue).
+    Returns ``(packed, mlp2_bd)`` where ``packed`` leads with the RAW
+    per-scale first-layer factors (the wrapper folds them into the
+    stacked base) and ``mlp2_bd`` is a list of ``(w_blockdiag, scale,
+    bias)`` for the per-point mlp2 tail (full-width matmuls in XLA glue).
     """
     from jax.scipy.linalg import block_diag
 
@@ -392,23 +439,13 @@ def mse_narrow_params_from_variables(mse_params, mse_stats, num_scales,
         for li, (w, sc, bi_) in enumerate(mlp2):
             mlp2_per_layer[li].append((w, sc, bi_))
 
-    c1c = sum(w.shape[1] for w in w0rel)
-    starts = [0]
-    for w in w0rel:
-        starts.append(starts[-1] + w.shape[1])
-
-    def widen(w, s):
-        full = jnp.zeros((w.shape[0], c1c), w.dtype)
-        return full.at[:, starts[s]:starts[s] + w.shape[1]].set(w)
-
     packed = (
-        tuple(widen(w, s).astype(dtype) for s, w in enumerate(w0rel))
-        + tuple(widen(w, s).astype(dtype) for s, w in enumerate(w0feat))
-        + (jnp.concatenate(s0), jnp.concatenate(b0),
-           block_diag(*w1s).astype(dtype),
-           jnp.concatenate(s1), jnp.concatenate(b1),
-           block_diag(*w2s).astype(dtype),
-           jnp.concatenate(s2), jnp.concatenate(b2))
+        tuple(w0rel), tuple(w0feat),
+        jnp.concatenate(s0), jnp.concatenate(b0),
+        block_diag(*w1s).astype(dtype),
+        jnp.concatenate(s1), jnp.concatenate(b1),
+        block_diag(*w2s).astype(dtype),
+        jnp.concatenate(s2), jnp.concatenate(b2),
     )
 
     mlp2_bd = []

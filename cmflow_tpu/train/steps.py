@@ -119,12 +119,14 @@ def _frame_loss(
 
 
 def _use_fused_train(model_name: str, fused: str) -> bool:
-    """Fused-training routing: "auto" = Pallas train engine on TPU for the
-    models it covers; flax elsewhere."""
+    """Fused-training routing.  "auto" currently resolves to the flax
+    path: the measured fused train engine (240.8 ms/it at B=64 N=256) is
+    still behind flax + MXU one-hot gathers (144.1 f32 / 125.3 bf16) —
+    the narrow sa scales run latency-bound per-scale kernels (the eval
+    engine's block-diagonal packing is not yet ported to the train
+    stats/bwd kernels).  Opt in with fused="on"."""
     if model_name != "cmflow":
         return False
-    if fused == "auto":
-        return jax.default_backend() == "tpu"
     return fused in ("on", "true", "1", True)
 
 

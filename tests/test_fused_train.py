@@ -296,3 +296,103 @@ class TestFusedTrainStep:
         np.testing.assert_allclose(l_fused, l_flax, rtol=5e-2)
         assert l_fused[-1] < l_fused[0]  # both descend
         assert l_flax[-1] < l_flax[0]
+
+
+class TestPackedMseTrainOps:
+    """mse_prebn_stats + mse_apply (stacked-base packed kernels) vs a
+    per-scale materialized jnp reference, with uneven K per scale."""
+
+    def test_forward_and_grads(self, rng):
+        from jax.scipy.linalg import block_diag
+
+        from cmflow_tpu.ops.fused import (center_xyz, make_mse_base,
+                                          shift_idx_stack)
+        from cmflow_tpu.ops.fused_train import mse_apply, mse_prebn_stats
+
+        B, N, Cf = 2, 64, 3
+        nsamples = (2, 3, 5)
+        widths_each = (8, 8, 16)
+        S = len(nsamples)
+        feats = jnp.asarray(rng.randn(B, N, Cf).astype(np.float32))
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 5)
+        idx_list = [
+            jnp.asarray(rng.randint(0, N, (B, N, k)).astype(np.int32))
+            for k in nsamples]
+
+        def mk(*shape):
+            return jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.2)
+
+        w0r = [mk(3, widths_each[0]) for _ in range(S)]
+        w0f = [mk(Cf, widths_each[0]) for _ in range(S)]
+        w1 = [mk(widths_each[0], widths_each[1]) for _ in range(S)]
+        w2 = [mk(widths_each[1], widths_each[2]) for _ in range(S)]
+        gm = [[jnp.asarray(1 + 0.1 * rng.randn(w).astype(np.float32))
+               for w in widths_each] for _ in range(S)]
+        bt = [[jnp.asarray(0.1 * rng.randn(w).astype(np.float32))
+               for w in widths_each] for _ in range(S)]
+
+        def ref_scale(s, a):
+            w0r_, w0f_, w1_, w2_, gm_, bt_ = a
+            g = jax.vmap(lambda p, i: p[i])(feats, idx_list[s])
+            rel = jax.vmap(lambda p, i: p[i])(xyz, idx_list[s]) \
+                - xyz[:, :, None, :]
+            x = g @ w0f_[s] + rel @ w0r_[s]
+            ws = [None, w1_[s], w2_[s]]
+            for layer in range(3):
+                if layer > 0:
+                    x = x @ ws[layer]
+                mu = x.mean(axis=(0, 1, 2))
+                var = jnp.maximum(
+                    0.0, (x * x).mean(axis=(0, 1, 2)) - mu * mu)
+                x = jnp.maximum(
+                    (x - mu) / jnp.sqrt(var + EPS) * gm_[s][layer]
+                    + bt_[s][layer], 0.0)
+            return jnp.max(x, axis=2)
+
+        def ref(a):
+            return jnp.concatenate(
+                [ref_scale(s, a) for s in range(S)], axis=-1)
+
+        def fused(a):
+            w0r_, w0f_, w1_, w2_, gm_, bt_ = a
+            xyz_c = center_xyz(xyz)
+            base = make_mse_base(feats, xyz_c, w0r_, w0f_)
+            w0r_cat = jnp.concatenate(w0r_, axis=1)
+            idx_sh = shift_idx_stack(idx_list, nsamples, N)
+            widths = tuple(w * S for w in widths_each)
+            ws_bd = [None, block_diag(*w1_), block_diag(*w2_)]
+            affines, prev = [], ()
+            for layer in range(3):
+                ssum, ssq = mse_prebn_stats(
+                    layer, True, nsamples, widths, base, idx_sh, xyz_c,
+                    w0r_cat, *prev)
+                each = widths[layer] // S
+                cnt = jnp.repeat(
+                    jnp.asarray(nsamples, jnp.float32) * B * N, each)
+                mu = ssum / cnt
+                var = jnp.maximum(0.0, ssq / cnt - mu * mu)
+                gamma = jnp.concatenate([gm_[s][layer] for s in range(S)])
+                beta = jnp.concatenate([bt_[s][layer] for s in range(S)])
+                sc = gamma / jnp.sqrt(var + EPS)
+                affines += [sc, beta - mu * sc]
+                if layer < 2:
+                    affines.append(ws_bd[layer + 1])
+                    prev = tuple(affines)
+            return mse_apply(True, nsamples, widths_each[2], base, idx_sh,
+                             xyz_c, w0r_cat, *affines)
+
+        args = (w0r, w0f, w1, w2, gm, bt)
+        o_r, o_f = ref(args), fused(args)
+        np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_r),
+                                   rtol=2e-3, atol=2e-3)
+
+        cot = jnp.asarray(rng.randn(*np.asarray(o_r).shape)
+                          .astype(np.float32))
+        g_r = jax.grad(lambda a: jnp.sum(ref(a) * cot))(args)
+        g_f = jax.grad(lambda a: jnp.sum(fused(a) * cot))(args)
+        for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                        jax.tree_util.tree_leaves(g_f)):
+            scale = np.abs(np.asarray(a)).max() + 1e-6
+            np.testing.assert_allclose(np.asarray(b) / scale,
+                                       np.asarray(a) / scale,
+                                       rtol=0, atol=5e-3)
