@@ -131,7 +131,9 @@ def bench_tpu_eval(b, n, fused=None, dtype_name="float32"):
     return fps, ms, spread
 
 
-def bench_tpu_train(b, n):
+def bench_tpu_train(b, n, dtype_name="float32"):
+    import types
+
     import jax
     import jax.numpy as jnp
 
@@ -141,7 +143,9 @@ def bench_tpu_train(b, n):
     from cmflow_tpu.train import steps as steplib
     from cmflow_tpu.train.state import create_train_state, make_optimizer
 
-    model = build_model("cmflow")
+    model = build_model(
+        "cmflow", types.SimpleNamespace(compute_dtype=dtype_name,
+                                        stat_thres=0.5))
     pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
     rng = np.random.RandomState(1)
     batch = {
@@ -175,8 +179,8 @@ def bench_tpu_train(b, n):
     ms = float(np.median(ms_passes))
     spread = (max(ms_passes) - min(ms_passes)) / ms
     fps = b / ms * 1e3
-    log(f"tpu train: B={b} N={n} {ms:.2f} ms/it median of {BENCH_PASSES} "
-        f"(spread {spread * 100:.0f}%) -> {fps:.1f} frames/s")
+    log(f"tpu train ({dtype_name}): B={b} N={n} {ms:.2f} ms/it median of "
+        f"{BENCH_PASSES} (spread {spread * 100:.0f}%) -> {fps:.1f} frames/s")
     return fps
 
 
@@ -349,6 +353,11 @@ def main():
         log(f"train bench failed: {e}")
         train_fps = None
     try:
+        train_bf16_fps = bench_tpu_train(BATCH, N_POINTS, "bfloat16")
+    except Exception as e:
+        log(f"bf16 train bench failed: {e}")
+        train_bf16_fps = None
+    try:
         cpu_fps = bench_torch_cpu(CPU_BATCH, N_POINTS)
     except Exception as e:
         log(f"cpu baseline failed: {e}")
@@ -375,6 +384,8 @@ def main():
             "unfused_eval_frames_per_sec":
                 round(unfused_fps, 2) if unfused_fps else None,
             "train_frames_per_sec": round(train_fps, 2) if train_fps else None,
+            "train_bf16_frames_per_sec":
+                round(train_bf16_fps, 2) if train_bf16_fps else None,
             "torch_cpu_frames_per_sec": round(cpu_fps, 2) if cpu_fps else None,
             "batch": BATCH,
             "n_points": N_POINTS,

@@ -8,6 +8,7 @@ metrics JSONL, and static-shape padded evaluation.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -16,6 +17,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
 
 from cmflow_tpu import evaluation as ev
 from cmflow_tpu.data import BatchLoader, DATASET_REGISTRY
@@ -92,7 +95,8 @@ def build_datasets(cfg: Config, textio) -> Tuple:
     return train, val, None
 
 
-def init_model_state(cfg: Config, model, mesh, batch_example) -> TrainState:
+def init_model_state(cfg: Config, model, mesh, batch_example,
+                     abstract: bool = False) -> TrainState:
     tx = make_optimizer(
         lr=cfg.lr, weight_decay=cfg.weight_decay,
         decay_epochs=cfg.decay_epochs, decay_rate=cfg.decay_rate,
@@ -113,7 +117,7 @@ def init_model_state(cfg: Config, model, mesh, batch_example) -> TrainState:
         inputs = (batch_example["pc1"], batch_example["pc2"],
                   batch_example["ft1"], batch_example["ft2"],
                   batch_example["mask"], True, g0)
-    state = create_train_state(model, key, inputs, tx)
+    state = create_train_state(model, key, inputs, tx, abstract=abstract)
     if mesh is not None:
         state = meshlib.replicate(mesh, state)
     return state
@@ -124,6 +128,67 @@ def _to_device(batch, mesh):
     if mesh is not None:
         arrs = meshlib.shard_batch(mesh, arrs)
     return arrs
+
+
+@functools.lru_cache(maxsize=8)
+def _unpack_fn(schema):
+    """Jitted device-side unpack of a packed batch buffer."""
+
+    def unpack(buf):
+        out = {}
+        ofs = 0
+        for key, shape, dtype in schema:
+            width = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+            piece = lax.slice_in_dim(buf, ofs, ofs + width, axis=1)
+            out[key] = piece.reshape(shape).astype(dtype)
+            ofs += width
+        return out
+
+    return jax.jit(unpack)
+
+
+@jax.jit
+def _pack_preds(pred_f, pred_m, pred_t):
+    """Concatenate the per-batch outputs the eval loop consumes into one
+    f32 buffer so the host pays ONE fetch RPC per batch instead of three
+    (~40 ms each on the tunnel)."""
+    b, n, _ = pred_f.shape
+    return jnp.concatenate(
+        [pred_f.reshape(b, -1),
+         pred_m.astype(jnp.float32).reshape(b, -1),
+         pred_t.reshape(b, -1)], axis=1)
+
+
+def _unpack_preds(buf, n):
+    buf = np.asarray(buf)
+    b = buf.shape[0]
+    pred_f = buf[:, :n * 3].reshape(b, n, 3)
+    pred_m = buf[:, n * 3:n * 4] > 0.5
+    pred_t = buf[:, n * 4:n * 4 + 16].reshape(b, 4, 4)
+    return pred_f, pred_m, pred_t
+
+
+def _to_device_packed(batch, mesh):
+    """One-upload host->device transfer.
+
+    On tunneled runtimes every array upload is a ~40 ms RPC — a 13-array
+    batch costs ~0.5 s before any compute (measured: 32 s of a 44 s
+    2048-frame eval was upload RPCs).  Pack the whole batch into a single
+    f32 buffer on the host, upload once, and unpack with a jitted
+    slice/reshape/cast on device (fused, stays on-chip)."""
+    b = next(iter(batch.values())).shape[0]
+    parts, schema = [], []
+    for key in sorted(batch.keys()):
+        v = np.asarray(batch[key])
+        parts.append(v.reshape(b, -1).astype(np.float32))
+        schema.append((key, tuple(v.shape), np.dtype(v.dtype).name))
+    buf = np.concatenate(parts, axis=1)
+    if mesh is not None:
+        buf = jax.device_put(
+            buf, jax.NamedSharding(mesh, P(meshlib.DATA_AXIS)))
+    else:
+        buf = jnp.asarray(buf)
+    return _unpack_fn(tuple(schema))(buf)
 
 
 # --------------------------------------------------------------------------
@@ -171,15 +236,15 @@ def evaluate_frames(
         for i in range(ci["index"][0], ci["index"][1]):
             clip_of_frame[i] = ci["clip_name"]
 
-    def consume(batch, pred_f, pred_m, pred_t):
-        """Fetch one batch's device outputs and fold in its metrics.
+    def consume(batch, packed):
+        """Fetch one batch's device outputs (ONE packed buffer -> one
+        fetch RPC) and fold in its metrics.
 
         Called one step behind the dispatch loop so the host's fetch+metric
         work overlaps the device's compute on the next batch."""
         nonlocal num_pcs
-        pred_f = np.asarray(pred_f)
-        pred_m = np.asarray(pred_m)
-        pred_t = np.asarray(pred_t)
+        pred_f, pred_m, pred_t = _unpack_preds(
+            packed, batch["pc1"].shape[-2])
         lane_valid = batch.get("lane_valid")
         for bi in range(pred_f.shape[0]):
             if lane_valid is not None and not lane_valid[bi]:
@@ -238,10 +303,16 @@ def evaluate_frames(
 
     gfeat = None
     pending = None  # one-deep dispatch/consume pipeline
+    t_load = t_h2d = t_disp = t_cons = t_first = 0.0
     t_wall = time.perf_counter()
+    t_mark = t_wall
     for i, batch in enumerate(loader):
-        dev = _to_device(
+        t_now = time.perf_counter()
+        t_load += t_now - t_mark
+        dev = _to_device_packed(
             {k: v for k, v in batch.items() if k != "lane_valid"}, None)
+        t_h2d += time.perf_counter() - t_now
+        t_now = time.perf_counter()
         if temporal:
             reset = (i in clip_starts) or (i % cfg.update_len == 0)
             if reset or gfeat is None or gfeat.shape[0] != dev["pc1"].shape[0]:
@@ -250,9 +321,17 @@ def evaluate_frames(
                 state, dev, gfeat)
         else:
             pred_f, pred_cls, pred_t, pred_m = eval_step(state, dev)
+        t_step = time.perf_counter() - t_now
+        if i == 0:
+            t_first = t_step  # includes the program compile
+        else:
+            t_disp += t_step
+        t_now = time.perf_counter()
         if pending is not None:
             consume(*pending)
-        pending = (batch, pred_f, pred_m, pred_t)
+        pending = (batch, _pack_preds(pred_f, pred_m, pred_t))
+        t_cons += time.perf_counter() - t_now
+        t_mark = time.perf_counter()
     if pending is not None:
         consume(*pending)
     # num_pcs is final only after the last consume; the wall clock spans
@@ -268,6 +347,10 @@ def evaluate_frames(
         "###The inference speed is %.3fms per frame###"
         % (infer_time * 1000 / max(num_pcs, 1))
     )
+    textio.cprint(
+        "eval wall breakdown: load %.1fs  h2d %.1fs  first-batch(compile) "
+        "%.1fs  dispatch %.1fs  consume(fetch+metrics) %.1fs  total %.1fs"
+        % (t_load, t_h2d, t_first, t_disp, t_cons, infer_time))
     return sf_metric, seg_metric, pose_metric
 
 
@@ -328,7 +411,7 @@ def train_experiment(cfg: Config, textio=None) -> Dict:
         sums = {k: 0.0 for k in item_keys}
         nb = 0
         for batch in loader:
-            dev = _to_device(
+            dev = _to_device_packed(
                 {k: v for k, v in batch.items()
                  if k not in ("valid1", "valid2")}, mesh)
             state, items = step_fn(state, dev)
@@ -380,10 +463,13 @@ def eval_experiment(cfg: Config, textio=None) -> Dict:
     example = {k: jnp.asarray(v) for k, v in first.items()
                if k not in ("valid1", "valid2")}
     example["_steps_per_epoch"] = None
-    state = init_model_state(cfg.replace(model=cfg.model), model, None,
-                             example)
     ckpt = cfg.model_path or os.path.join(exp_dir, "models", "best")
-    if os.path.exists(ckpt):
+    have_ckpt = os.path.exists(ckpt)
+    # restoring overwrites every value: build the state abstractly and
+    # skip compiling the init program (minutes of remote compile here)
+    state = init_model_state(cfg.replace(model=cfg.model), model, None,
+                             example, abstract=have_ckpt)
+    if have_ckpt:
         state = restore_checkpoint(ckpt, state)
         textio.cprint(f"restored checkpoint from {ckpt}")
     else:

@@ -69,10 +69,26 @@ def make_optimizer(
 
 
 def create_train_state(
-    model, rng, example_inputs, tx: optax.GradientTransformation
+    model, rng, example_inputs, tx: optax.GradientTransformation,
+    abstract: bool = False,
 ) -> TrainState:
-    """Initialize variables with an example batch and build the state."""
-    variables = model.init({"params": rng}, *example_inputs)
+    """Initialize variables with an example batch and build the state.
+
+    ``abstract=True`` builds the state from ``jax.eval_shape`` without
+    compiling or running the init program — for paths that immediately
+    overwrite every value from a checkpoint (on this runtime the unfused
+    flax init program costs minutes of remote compile)."""
+    if abstract:
+        import numpy as np
+
+        shapes = jax.eval_shape(
+            lambda r: model.init({"params": r}, *example_inputs), rng)
+        # NUMPY zeros: jnp.zeros per leaf would compile ~22 distinct
+        # broadcast programs through the remote compile server
+        variables = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
+    else:
+        variables = model.init({"params": rng}, *example_inputs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(
