@@ -53,7 +53,7 @@ class Config:
     # frames per device batch during (non-temporal) evaluation; the
     # reference evaluated at B=1 (main.py:202-203) which on a tunneled TPU
     # is RTT-bound — batching + pipelined fetches recovers device throughput
-    eval_batch_size: int = 32
+    eval_batch_size: int = 64
     eval_compute_dtype: str = "float32"  # fused-serving dtype: or "bfloat16"
 
     # method parameters
