@@ -209,3 +209,67 @@ class TestTemporalEvalCarry:
         # carry and therefore differ from frame 0's prediction
         assert not np.allclose(preds[0], preds[1]), \
             "GRU carry is being reset every frame"
+
+
+class TestPackedTransfer:
+    """Single-RPC batch packing (loop._to_device_packed / _pack_preds)."""
+
+    def test_packed_matches_direct(self):
+        import numpy as np
+
+        from cmflow_tpu.train.loop import _to_device, _to_device_packed
+
+        rng = np.random.RandomState(0)
+        batch = {
+            "pc1": rng.randn(4, 16, 3).astype(np.float32),
+            "mask": (rng.rand(4, 16) > 0.5),
+            "interval": rng.rand(4).astype(np.float32),
+            "trans": rng.randn(4, 4, 4).astype(np.float32),
+            "clip": rng.randn(4, 5, 16, 3).astype(np.float32),  # temporal
+        }
+        direct = _to_device(batch, None)
+        packed = _to_device_packed(batch, None)
+        assert set(direct) == set(packed)
+        for k in direct:
+            assert packed[k].dtype == direct[k].dtype, k
+            np.testing.assert_array_equal(np.asarray(packed[k]),
+                                          np.asarray(direct[k]), err_msg=k)
+
+    def test_pred_pack_roundtrip(self):
+        import numpy as np
+
+        from cmflow_tpu.train.loop import _pack_preds, _unpack_preds
+
+        rng = np.random.RandomState(1)
+        f = rng.randn(3, 8, 3).astype(np.float32)
+        m = rng.rand(3, 8) > 0.5
+        t = rng.randn(3, 4, 4).astype(np.float32)
+        buf = _pack_preds(f, m, t)
+        f2, m2, t2 = _unpack_preds(buf, 8)
+        np.testing.assert_array_equal(f2, f)
+        np.testing.assert_array_equal(m2, m)
+        np.testing.assert_array_equal(t2, t)
+
+    def test_abstract_init_matches_restore_shapes(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from cmflow_tpu.models import build_model
+        from cmflow_tpu.train.state import (create_train_state,
+                                            make_optimizer)
+
+        model = build_model("cmflow")
+        rng = np.random.RandomState(0)
+        pc = rng.randn(2, 32, 3).astype(np.float32)
+        ft = rng.randn(2, 32, 3).astype(np.float32)
+        inputs = (pc, pc, ft, ft, None, False)
+        real = create_train_state(model, jax.random.PRNGKey(0), inputs,
+                                  make_optimizer())
+        abst = create_train_state(model, jax.random.PRNGKey(0), inputs,
+                                  make_optimizer(), abstract=True)
+        for a, b in zip(jax.tree_util.tree_leaves(real.params),
+                        jax.tree_util.tree_leaves(abst.params)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+        for a, b in zip(jax.tree_util.tree_leaves(real.opt_state),
+                        jax.tree_util.tree_leaves(abst.opt_state)):
+            assert np.shape(a) == np.shape(b)
