@@ -60,22 +60,28 @@ def _dot32(x, w, dtype):
 
 
 def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
-               dtype=jnp.float32):
+               dtype=jnp.float32, idx_list=None):
     """MultiScaleEncoder via the fused kernels (+ plain-jnp mlp2 tail).
 
     Narrow encoders (per-scale width < 128, i.e. the sa encoder) run all
     scales in ONE block-diagonally packed kernel at full MXU width; wide
-    encoders (the propagation encoder, C1=512) keep per-scale kernels."""
+    encoders (the propagation encoder, C1=512) keep per-scale kernels.
+
+    ``idx_list`` lets the caller share ball-query results: the sa and
+    propagation encoders query the SAME xyz with the SAME radii, and the
+    optimization_barrier between the stages blocks XLA's CSE from
+    deduplicating the [B,N,N] distance sorts (~0.4 ms each)."""
     first_w0 = params["scale_0"]["w0"]
     narrow = first_w0.shape[1] < 128
+    if idx_list is None:
+        idx_list = [pointops.ball_query(r, k, xyz, xyz, valid)
+                    for r, k in zip(radii, nsamples)]
     if narrow:
         from cmflow_tpu.ops.fused import (fused_multi_scale_encoder,
                                           mse_narrow_params_from_variables)
 
         packed, mlp2_bd = mse_narrow_params_from_variables(
             params, stats, len(radii), dtype)
-        idx_list = [pointops.ball_query(r, k, xyz, xyz, valid)
-                    for r, k in zip(radii, nsamples)]
         out_each = packed[-1].shape[-1] // len(radii)
         h = fused_multi_scale_encoder(
             feats.astype(dtype), idx_list, xyz, packed,
@@ -89,7 +95,7 @@ def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
         sp, ss = params[f"scale_{i}"], stats[f"scale_{i}"]
         chain, feat_w, mlp2 = plf_params_from_variables(sp, ss)
         chain = _cast_chain(chain, dtype)
-        idx = pointops.ball_query(r, k, xyz, xyz, valid)
+        idx = idx_list[i]
         feat_tx = _dot32(feats, feat_w, dtype).astype(dtype)
         h = fused_point_local_feature(feat_tx, idx, xyz, chain, interpret)
         for w, s, b in mlp2:
@@ -135,8 +141,13 @@ def _head(p, s, x, dtype=jnp.float32):
 def _trunk(params, stats, cfg, pc1, pc2, ft1, ft2, valid1, valid2,
            interpret, dtype=jnp.float32):
     mse_p, mse_s = params["mse_layer"], stats["mse_layer"]
+    # the sa and propagation encoders share pc1's ball queries (computed
+    # once here, reused across the optimization_barrier below)
+    idx1_list = [pointops.ball_query(r, k, pc1, pc1, valid1)
+                 for r, k in zip(cfg.sa_radii, cfg.sa_nsamples)]
     f1 = _mse_fused(mse_p, mse_s, cfg.sa_radii, cfg.sa_nsamples,
-                    pc1, ft1, valid1, interpret, dtype)
+                    pc1, ft1, valid1, interpret, dtype,
+                    idx_list=idx1_list)
     f2 = _mse_fused(mse_p, mse_s, cfg.sa_radii, cfg.sa_nsamples,
                     pc2, ft2, valid2, interpret, dtype)
 
@@ -161,7 +172,7 @@ def _trunk(params, stats, cfg, pc1, pc2, ft1, ft2, valid1, valid2,
     emb = jnp.concatenate([ft1, f1, cor], axis=-1)
     return _mse_fused(params["mse_layer2"], stats["mse_layer2"],
                       cfg.sa_radii, cfg.sa_nsamples, pc1, emb, valid1,
-                      interpret, dtype)
+                      interpret, dtype, idx_list=idx1_list)
 
 
 def cmflow_infer(

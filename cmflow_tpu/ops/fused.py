@@ -293,31 +293,56 @@ def _mse_kernel(base_ref, idx_ref, xyzt_ref, w0r_ref, *rest,
         kthr = jnp.where(cid == s, nsamples[s], kthr)
 
     dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
+    n_per = sn // s_cnt
 
-    def body(kk, acc):
-        idxs = idx_ref[0, kk]  # [S, T], shifted by s*N
-        oh = rows == idxs[0]
-        for s in range(1, s_cnt):
-            oh = jnp.logical_or(oh, rows == idxs[s])
-        oh_t = oh.astype(jnp.bfloat16)  # [S*N, T]
-        x = lax.dot_general(oh_t, base_hi, dim0,
-                            preferred_element_type=jnp.float32)
-        if base_lo is not None:
-            x = x + lax.dot_general(oh_t, base_lo, dim0,
-                                    preferred_element_type=jnp.float32)
-        x = x - off
-        x = jnp.maximum(x * s0_ref[:] + b0_ref[:], 0.0)
-        x = jnp.dot(x.astype(w1.dtype), w1,
-                    preferred_element_type=jnp.float32)
-        x = jnp.maximum(x * s1_ref[:] + b1_ref[:], 0.0)
-        x = jnp.dot(x.astype(w2.dtype), w2,
-                    preferred_element_type=jnp.float32)
-        x = jnp.maximum(x * s2_ref[:] + b2_ref[:], 0.0)
-        x = jnp.where(kthr > kk, x, -jnp.inf)
-        return jnp.maximum(acc, x)
+    # PHASED k loop: with ascending per-scale K, scales finish in order,
+    # so iterations k >= nsamples[p] can drop rows [0 : (p+1)*N] from the
+    # gather contraction entirely — total work is sum(K_s) scale-k units
+    # instead of S*Kmax (2.1x for the sa encoder's (4,8,16,32)).
+    ascending = all(nsamples[i] <= nsamples[i + 1]
+                    for i in range(s_cnt - 1))
+    phases = ([(0, nsamples[0], 0)]
+              + [(nsamples[p - 1], nsamples[p], p)
+                 for p in range(1, s_cnt)]) if ascending \
+        else [(0, kmax, 0)]
 
-    init = jnp.full((t, c_out), -jnp.inf, jnp.float32)
-    out_ref[0] = lax.fori_loop(0, kmax, body, init)
+    def make_body(p_start):
+        rows_p = lax.broadcasted_iota(
+            jnp.int32, (sn - p_start * n_per, t), dimension=0) \
+            + p_start * n_per
+        hi_p = base_hi[p_start * n_per:]
+        lo_p = base_lo[p_start * n_per:] if base_lo is not None else None
+
+        def body(kk, acc):
+            idxs = idx_ref[0, kk]  # [S, T], shifted by s*N
+            oh = rows_p == idxs[p_start]
+            for s in range(p_start + 1, s_cnt):
+                oh = jnp.logical_or(oh, rows_p == idxs[s])
+            oh_t = oh.astype(jnp.bfloat16)
+            x = lax.dot_general(oh_t, hi_p, dim0,
+                                preferred_element_type=jnp.float32)
+            if lo_p is not None:
+                x = x + lax.dot_general(oh_t, lo_p, dim0,
+                                        preferred_element_type=jnp.float32)
+            x = x - off
+            x = jnp.maximum(x * s0_ref[:] + b0_ref[:], 0.0)
+            x = jnp.dot(x.astype(w1.dtype), w1,
+                        preferred_element_type=jnp.float32)
+            x = jnp.maximum(x * s1_ref[:] + b1_ref[:], 0.0)
+            x = jnp.dot(x.astype(w2.dtype), w2,
+                        preferred_element_type=jnp.float32)
+            x = jnp.maximum(x * s2_ref[:] + b2_ref[:], 0.0)
+            x = jnp.where(kthr > kk, x, -jnp.inf)
+            return jnp.maximum(acc, x)
+
+        return body
+
+    acc = jnp.full((t, c_out), -jnp.inf, jnp.float32)
+    for k_lo, k_hi, p_start in phases:
+        if k_lo == k_hi:
+            continue
+        acc = lax.fori_loop(k_lo, k_hi, make_body(p_start), acc)
+    out_ref[0] = acc
 
 
 def shift_idx_stack(idx_list, nsamples, n):
