@@ -66,6 +66,12 @@ class PointwiseMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        # NOTE on layouts (profiled both ways): the 4-D [B,N,K,C] chain is
+        # kept as-is.  Flattening to 2-D [rows, C] looks like it should
+        # avoid the conv-emitter's {1,3,2,0} layout copies, but XLA then
+        # picks {0,1} layouts for the small-C 2-D matmuls and inserts the
+        # same volume of copies at every boundary with the 4-D max/eq
+        # ops, plus standalone broadcast/sub kernels (measured +12 ms).
         for i, width in enumerate(self.features):
             fan_in = x.shape[-1]
             x = nn.Dense(
@@ -76,14 +82,18 @@ class PointwiseMLP(nn.Module):
                 dtype=self.dtype,
                 name=f"dense_{i}",
             )(x)
-            if self.dtype is not None:
-                x = x.astype(jnp.float32)
             if self.use_bn:
+                # in bf16 mode the activations STAY bf16 between layers
+                # (halves the [rows, C] HBM traffic); flax computes the
+                # batch statistics in float32 regardless of ``dtype``
+                # (normalization.py _compute_stats), and running stats /
+                # scale / bias are float32 params
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=self.bn_momentum,
                     epsilon=1e-5,
                     axis_name=self.axis_name if train else None,
+                    dtype=self.dtype,
                     name=f"bn_{i}",
                 )(x)
             if self.negative_slope > 0:
@@ -128,19 +138,35 @@ class PointLocalFeature(nn.Module):
         cdt = self.dtype or w0.dtype  # bf16 multiplies, f32 accumulation
 
         idx = pointops.ball_query(self.radius, self.nsample, xyz, xyz, valid)
-        rel = pointops.group_points(xyz, idx) - xyz[:, :, None, :]
 
-        # factored first layer: per-point feature transform, then gather
+        # factored first layer with the rel-offset FOLDED into the gather
+        # (same associativity trick as the serving kernel, ops/fused.py
+        # _plf_kernel): since ``rel @ w0[:3]`` is linear,
+        #   rel @ wrel + feat_tx[idx] = (feat_tx + xyz_c @ wrel)[idx]
+        #                               - xyz_c @ wrel,
+        # one gather instead of two (the xyz gather and the [B,N,K,3] rel
+        # tensor never exist, in either direction of the train step).
+        # xyz is centered per cloud first — exact cancellation, but keeps
+        # the MXU gather's hi/lo rounding at scene-extent scale.
+        xyz_c = xyz - jnp.mean(xyz, axis=1, keepdims=True)
+        off = jnp.einsum("bnc,cd->bnd",
+                         xyz_c.astype(cdt), w0[:3].astype(cdt),
+                         preferred_element_type=jnp.float32)
         feat_tx = jnp.einsum("bnc,cd->bnd",
                              features.astype(cdt), w0[3:].astype(cdt),
                              preferred_element_type=jnp.float32)
-        pre = (jnp.einsum("bnkc,cd->bnkd",
-                          rel.astype(cdt), w0[:3].astype(cdt),
-                          preferred_element_type=jnp.float32)
-               + pointops.group_points(feat_tx, idx))
+        base = feat_tx + off
+        if self.dtype is not None:
+            # bf16 mode: pre-round the gathered base — the MXU one-hot
+            # gather runs single-pass (vs hi/lo two-pass for f32), in
+            # BOTH directions of the train step
+            base = base.astype(self.dtype)
+            off = off.astype(self.dtype)
+        pre = pointops.group_points(base, idx) - off[:, :, None, :]
         h = nn.relu(nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name if train else None, name="bn0",
+            axis_name=self.axis_name if train else None, dtype=self.dtype,
+            name="bn0",
         )(pre))
 
         if len(self.mlp) > 1:
@@ -257,12 +283,27 @@ class FeatureCorrelator(nn.Module):
         f2_tx = jnp.einsum("bnc,cd->bnd",
                            points2.astype(cdt), w0[d1:d1 + d2].astype(cdt),
                            preferred_element_type=jnp.float32)
-        pre = (f1_tx[:, :, None, :]
-               + pointops.group_points(f2_tx, knn_idx)
-               + jnp.einsum("bnkc,cd->bnkd",
-                            direction.astype(cdt), w0[d1 + d2:].astype(cdt),
-                            preferred_element_type=jnp.float32)
-               + b0)
+        # direction @ w0 FOLDED into the frame-2 gather (linearity, same
+        # trick as PointLocalFeature):
+        #   dir @ wd = (xyz2_c[idx] - xyz1_c) @ wd
+        # with one shared center so the per-point terms combine BEFORE the
+        # [B,N,K,C] broadcast — one gather + one broadcast-add instead of
+        # a gather + a [B,N,K,3] matmul + a 4-operand add tree.
+        center = jnp.mean(xyz1, axis=1, keepdims=True)
+        wd = w0[d1 + d2:].astype(cdt)
+        off2 = jnp.einsum("bnc,cd->bnd",
+                          (xyz2 - center).astype(cdt), wd,
+                          preferred_element_type=jnp.float32)
+        off1 = jnp.einsum("bnc,cd->bnd",
+                          (xyz1 - center).astype(cdt), wd,
+                          preferred_element_type=jnp.float32)
+        base2 = f2_tx + off2
+        point_term = f1_tx - off1 + b0
+        if self.dtype is not None:  # single-pass bf16 MXU gather
+            base2 = base2.astype(self.dtype)
+            point_term = point_term.astype(self.dtype)
+        pre = (point_term[:, :, None, :]
+               + pointops.group_points(base2, knn_idx))
         new_points = nn.leaky_relu(pre, 0.1)
         if len(self.mlp) > 1:
             new_points = PointwiseMLP(
@@ -281,7 +322,9 @@ class FeatureCorrelator(nn.Module):
 
         weights = WeightNet(self.mlp[-1], dtype=self.dtype,
                             name="weightnet2")(direction)
-        grouped_cost = pointops.group_points(point_to_patch, knn_idx)
+        p2p = (point_to_patch if self.dtype is None
+               else point_to_patch.astype(self.dtype))
+        grouped_cost = pointops.group_points(p2p, knn_idx)
         return jnp.sum(weights * grouped_cost, axis=2)  # [B, N1, C]
 
 

@@ -526,7 +526,9 @@ def mxu_gather_rows(points: Array, idx: Array,
     back.  Exact for f32 inputs (hi/lo bf16 split)."""
     b, n, c = points.shape
     m = idx.shape[1]
-    tile = min(128, m)
+    # biggest tile that divides M (bounded by VMEM: [tile, C] out block)
+    tile = next((x for x in (512, 384, 256, 128, 64, 32, 16, 8)
+                 if m % x == 0), min(128, m))
     pad = (-m) % tile
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, pad)))
@@ -549,56 +551,63 @@ def mxu_gather_rows(points: Array, idx: Array,
     return out[:, :m] if pad else out
 
 
-def _gather_bwd_kernel(g_ref, idx_ref, out_ref, *, chunk):
-    """Accumulate d_points[b] += onehot_k^T @ g[b, :, k, :] over a k-chunk
+def _gather_bwd_kernel(g_ref, idx_ref, out_ref):
+    """Accumulate d_points[b] += onehot_block^T @ g_block over a flat-row
     grid dimension (the transpose of the gather — XLA lowers this to a
-    serial scatter-add that is ~7x slower at C=512 than the MXU matmul)."""
+    serial scatter-add that is ~7x slower at C=512 than the MXU matmul).
+
+    The cotangent arrives flattened to [B, S*K, C] (a free bitcast) and
+    each grid step contracts ONE [N, RB] one-hot against a [RB, C] row
+    block — one MXU matmul per hi/lo pass, instead of the earlier
+    per-k-chunk variant's 16 sequential [N, S]x[S, C] dots whose
+    dependency chain left the MXU ~4x under-utilized (profiled 5.8 ms vs
+    the ~2 ms matmul+HBM floor at S=256, K=32, C=512)."""
     n = out_ref.shape[1]
-    t = g_ref.shape[1]
-    kc = pl.program_id(1)
-    rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
+    rb = g_ref.shape[1]
+    rc = pl.program_id(1)
+    rows = lax.broadcasted_iota(jnp.int32, (n, rb), dimension=0)
 
-    part = jnp.zeros((n, out_ref.shape[2]), jnp.float32)
-    for j in range(chunk):
-        idx_j = idx_ref[0, j]  # [1, T] (idx block [1, chunk, 1, T])
-        oh_t = (rows == idx_j).astype(jnp.bfloat16)  # [N, T]
-        gj = g_ref[0, :, j, :]
-        if gj.dtype == jnp.bfloat16:
-            part = part + jnp.dot(oh_t, gj,
-                                  preferred_element_type=jnp.float32)
-        else:
-            hi, lo = _hilo(gj)
-            part = (part
-                    + jnp.dot(oh_t, hi, preferred_element_type=jnp.float32)
-                    + jnp.dot(oh_t, lo, preferred_element_type=jnp.float32))
+    oh_t = (rows == idx_ref[0]).astype(jnp.bfloat16)  # [N, RB]
+    g = g_ref[0]
+    if g.dtype == jnp.bfloat16:
+        part = jnp.dot(oh_t, g, preferred_element_type=jnp.float32)
+    else:
+        hi, lo = _hilo(g)
+        part = (jnp.dot(oh_t, hi, preferred_element_type=jnp.float32)
+                + jnp.dot(oh_t, lo, preferred_element_type=jnp.float32))
 
-    @pl.when(kc == 0)
+    @pl.when(rc == 0)
     def _():
         out_ref[0] = part
 
-    @pl.when(kc > 0)
+    @pl.when(rc > 0)
     def _():
         out_ref[0] = out_ref[0] + part
 
 
 def _mxu_gather_bwd(n: int, idx: Array, g: Array, interpret: bool) -> Array:
     b, t, k, c = g.shape
-    chunk = 8 if k % 8 == 0 else k
-    idx_km = jnp.swapaxes(idx, 1, 2)[:, :, None, :]  # [B, K, 1, T]
+    r = t * k
+    rb = next((x for x in (512, 384, 256, 128, 64, 32, 16, 8)
+               if r % x == 0), None)
+    if rb is None:  # odd row count: single block
+        rb = r
+    g_flat = g.reshape(b, r, c)
+    idx_flat = idx.reshape(b, 1, r)
     return pl.pallas_call(
-        functools.partial(_gather_bwd_kernel, chunk=chunk),
+        _gather_bwd_kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
-        grid=(b, k // chunk),
+        grid=(b, r // rb),
         in_specs=[
-            pl.BlockSpec((1, t, chunk, c), lambda bi, ki: (bi, 0, ki, 0),
+            pl.BlockSpec((1, rb, c), lambda bi, ri: (bi, ri, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, 1, t), lambda bi, ki: (bi, ki, 0, 0),
+            pl.BlockSpec((1, 1, rb), lambda bi, ri: (bi, 0, ri),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda bi, ki: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, n, c), lambda bi, ri: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(g, idx_km)
+    )(g_flat, idx_flat.astype(jnp.int32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -119,12 +119,13 @@ def _frame_loss(
 
 
 def _use_fused_train(model_name: str, fused: str) -> bool:
-    """Fused-training routing.  "auto" currently resolves to the flax
-    path: the measured fused train engine (240.8 ms/it at B=64 N=256) is
-    still behind flax + MXU one-hot gathers (144.1 f32 / 125.3 bf16) —
-    the narrow sa scales run latency-bound per-scale kernels (the eval
-    engine's block-diagonal packing is not yet ported to the train
-    stats/bwd kernels).  Opt in with fused="on"."""
+    """Fused-training routing.  "auto" resolves to the flax path: with
+    offset-folded single-gather encoders, flat-row MXU scatter backward,
+    and the bf16 activation chain, the flax train step measures 108.2
+    ms/it f32 / 60.9 ms/it bf16 (B=64 N=256, on-device) vs the recompute
+    fused engine's 160.3 — train-mode BatchNorm's per-layer stats
+    barriers force ~8 chain traversals in the fused engine where XLA's
+    materialized path does ~2.  Opt in with fused="on"."""
     if model_name != "cmflow":
         return False
     return fused in ("on", "true", "1", True)
