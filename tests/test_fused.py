@@ -280,3 +280,54 @@ class TestMxuGroupPoints:
             g_mxu = jax.grad(mxu_loss)(pts)
             np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
                                        rtol=1e-3, atol=1e-3)
+
+    def test_backward_odd_rows_and_wide(self, rng):
+        """Flat-row backward: row counts S*K that don't divide the
+        preferred block sizes (K=9, 5; prime-ish S) and a wide C=512
+        block (the propagation-encoder shape)."""
+        from cmflow_tpu.ops.fused import mxu_group_points
+
+        for (b, n, s, k, c) in ((2, 64, 37, 9, 7), (2, 40, 40, 5, 3),
+                                (1, 128, 128, 4, 512)):
+            pts = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+            idx = jnp.asarray(rng.randint(0, n, (b, s, k)).astype(np.int32))
+            cot = jnp.asarray(rng.randn(b, s, k, c).astype(np.float32))
+
+            def ref_loss(p):
+                return jnp.sum(jax.vmap(lambda pp, i: pp[i])(p, idx) * cot)
+
+            def mxu_loss(p):
+                return jnp.sum(mxu_group_points(p, idx, True) * cot)
+
+            g_ref = jax.grad(ref_loss)(pts)
+            g_mxu = jax.grad(mxu_loss)(pts)
+            np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_backward_bf16_cotangent(self, rng):
+        """bf16 cotangents take the single-pass path and stay close to the
+        exact scatter (bf16 rounding only)."""
+        from cmflow_tpu.ops.fused import mxu_group_points
+
+        b, n, s, k, c = 2, 64, 64, 8, 32
+        pts = jnp.asarray(
+            rng.randn(b, n, c).astype(np.float32)).astype(jnp.bfloat16)
+        idx = jnp.asarray(rng.randint(0, n, (b, s, k)).astype(np.int32))
+        cot = jnp.asarray(rng.randn(b, s, k, c).astype(np.float32))
+
+        def mxu_loss(p):
+            out = mxu_group_points(p, idx, True).astype(jnp.float32)
+            return jnp.sum(out * cot)
+
+        def ref_loss(p):
+            out = jax.vmap(lambda pp, i: pp[i])(p, idx).astype(jnp.float32)
+            return jnp.sum(out * cot)
+
+        g_mxu = jax.grad(mxu_loss)(pts)
+        g_ref = jax.grad(ref_loss)(pts)
+        assert g_mxu.dtype == jnp.bfloat16
+        # both sides accumulate the K-way scatter in bf16 with different
+        # summation orders; tolerance = a few bf16 ulps at |g|~8
+        np.testing.assert_allclose(
+            np.asarray(g_mxu, np.float32), np.asarray(g_ref, np.float32),
+            rtol=5e-2, atol=6e-2)
