@@ -59,6 +59,19 @@ def _dot32(x, w, dtype):
     return out.reshape(*lead, w.shape[-1])
 
 
+def _ball_query_all(radii, nsamples, xyz, valid):
+    """All scales' ball queries — ONE sort-free Pallas kernel on TPU
+    (ops/neighbors.py shares the distance tile and prefix-count matmul
+    across radii), per-scale XLA top-k elsewhere."""
+    from cmflow_tpu.ops.neighbors import ball_query_multi, pallas_ok
+
+    if jax.default_backend() == "tpu" and pallas_ok(xyz, xyz):
+        return list(ball_query_multi(tuple(radii), tuple(nsamples),
+                                     xyz, xyz, points_valid=valid))
+    return [pointops.ball_query(r, k, xyz, xyz, valid)
+            for r, k in zip(radii, nsamples)]
+
+
 def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
                dtype=jnp.float32, idx_list=None):
     """MultiScaleEncoder via the fused kernels (+ plain-jnp mlp2 tail).
@@ -74,8 +87,7 @@ def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
     first_w0 = params["scale_0"]["w0"]
     narrow = first_w0.shape[1] < 128
     if idx_list is None:
-        idx_list = [pointops.ball_query(r, k, xyz, xyz, valid)
-                    for r, k in zip(radii, nsamples)]
+        idx_list = _ball_query_all(radii, nsamples, xyz, valid)
     if narrow:
         from cmflow_tpu.ops.fused import (fused_multi_scale_encoder,
                                           mse_narrow_params_from_variables)
@@ -143,8 +155,7 @@ def _trunk(params, stats, cfg, pc1, pc2, ft1, ft2, valid1, valid2,
     mse_p, mse_s = params["mse_layer"], stats["mse_layer"]
     # the sa and propagation encoders share pc1's ball queries (computed
     # once here, reused across the optimization_barrier below)
-    idx1_list = [pointops.ball_query(r, k, pc1, pc1, valid1)
-                 for r, k in zip(cfg.sa_radii, cfg.sa_nsamples)]
+    idx1_list = _ball_query_all(cfg.sa_radii, cfg.sa_nsamples, pc1, valid1)
     f1 = _mse_fused(mse_p, mse_s, cfg.sa_radii, cfg.sa_nsamples,
                     pc1, ft1, valid1, interpret, dtype,
                     idx_list=idx1_list)

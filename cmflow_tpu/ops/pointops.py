@@ -86,6 +86,14 @@ def knn(
     Returns:
       ``[B, S, k]`` int32 indices.
     """
+    if jax.default_backend() == "tpu":
+        from cmflow_tpu.ops.neighbors import knn_pallas, pallas_ok
+
+        if pallas_ok(points, query) and k <= 64:
+            # sort-free Pallas kernel: identical results (top_k semantics,
+            # ties to the lower index), ~3x faster than the [N] sort
+            return knn_pallas(k, query, points,
+                              points_valid=points_valid)
     d = masked_square_distance(query, points, points_valid)
     _, idx = lax.top_k(-d, k)
     return idx.astype(jnp.int32)
@@ -132,6 +140,15 @@ def ball_query(
       ``[B, S, nsample]`` int32 indices into ``points``.
     """
     n = points.shape[1]
+    if jax.default_backend() == "tpu":
+        from cmflow_tpu.ops.neighbors import ball_query_multi, pallas_ok
+
+        if pallas_ok(points, query) and nsample <= n:
+            # sort-free Pallas kernel (ops/neighbors.py): bit-identical
+            # scan-order semantics without the [N] sort
+            (idx,) = ball_query_multi((radius,), (nsample,), points, query,
+                                      points_valid=points_valid)
+            return idx
     d = square_distance(query, points)
     hit = d < jnp.float32(radius) ** 2
     if points_valid is not None:
