@@ -86,9 +86,15 @@ def _plf_kernel(base_ref, idx_ref, xyzt_ref, wrel_ref, *rest,
     t = idx_ref.shape[3]
     c_out = out_ref.shape[2]
 
-    rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
+    # process U neighbors per iteration: their one-hots are concatenated
+    # along lanes so the gather and the dense chain run as ONE [U*T, C]
+    # matmul each — 4x fewer serialization points between small matmuls
+    # (measured: the per-k loop left the MXU ~50% idle)
+    u = max(d for d in (4, 2, 1) if nsample % d == 0)
+    rows = lax.broadcasted_iota(jnp.int32, (n, u * t), dimension=0)
     base = base_ref[0]
-    off = _tile_offset(xyzt_ref, wrel_ref)  # [T, C1], per tile not per k
+    off1 = _tile_offset(xyzt_ref, wrel_ref)  # [T, C1], per tile not per k
+    off = jnp.concatenate([off1] * u, axis=0)  # [U*T, C1]
 
     if base.dtype == jnp.bfloat16:
         # bf16 serving: base arrives pre-rounded; one MXU pass per gather
@@ -101,9 +107,10 @@ def _plf_kernel(base_ref, idx_ref, xyzt_ref, wrel_ref, *rest,
 
     dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
 
-    def body(kk, acc):
-        idx_k = idx_ref[0, kk]  # [1, T]
-        oh_t = (rows == idx_k).astype(jnp.bfloat16)  # [N, T]
+    def body(kg, acc):
+        idx_cat = jnp.concatenate(
+            [idx_ref[0, kg * u + uu] for uu in range(u)], axis=1)  # [1, U*T]
+        oh_t = (rows == idx_cat).astype(jnp.bfloat16)  # [N, U*T]
         g = lax.dot_general(oh_t, base_hi, dim0,
                             preferred_element_type=jnp.float32)
         if base_lo is not None:
@@ -123,10 +130,13 @@ def _plf_kernel(base_ref, idx_ref, xyzt_ref, wrel_ref, *rest,
                         preferred_element_type=jnp.float32)
             x = jnp.maximum(x * s[:] + b[:], 0.0)
 
-        return jnp.maximum(acc, x)
+        m = x[0:t]
+        for uu in range(1, u):
+            m = jnp.maximum(m, x[uu * t:(uu + 1) * t])
+        return jnp.maximum(acc, m)
 
     init = jnp.full((t, c_out), -jnp.inf, jnp.float32)
-    out_ref[0] = lax.fori_loop(0, nsample, body, init)
+    out_ref[0] = lax.fori_loop(0, nsample // u, body, init)
 
 
 def center_xyz(xyz: Array) -> Array:
@@ -306,25 +316,34 @@ def _mse_kernel(base_ref, idx_ref, xyzt_ref, w0r_ref, *rest,
                  for p in range(1, s_cnt)]) if ascending \
         else [(0, kmax, 0)]
 
-    def make_body(p_start):
+    def make_body(p_start, u):
+        # U neighbors per iteration, one-hots concatenated in lanes (see
+        # _plf_kernel): the gather and the block-diagonal chain run as
+        # [U*T, C] matmuls instead of U serialized [T, C] ones
         rows_p = lax.broadcasted_iota(
             jnp.int32, (sn - p_start * n_per, t), dimension=0) \
             + p_start * n_per
         hi_p = base_hi[p_start * n_per:]
         lo_p = base_lo[p_start * n_per:] if base_lo is not None else None
+        off_u = jnp.concatenate([off] * u, axis=0) if u > 1 else off
 
-        def body(kk, acc):
-            idxs = idx_ref[0, kk]  # [S, T], shifted by s*N
-            oh = rows_p == idxs[p_start]
-            for s in range(p_start + 1, s_cnt):
-                oh = jnp.logical_or(oh, rows_p == idxs[s])
-            oh_t = oh.astype(jnp.bfloat16)
+        def body(kg, acc):
+            kk0 = kg * u
+            cols = []
+            for uu in range(u):
+                idxs = idx_ref[0, kk0 + uu]  # [S, T], shifted by s*N
+                oh_u = rows_p == idxs[p_start]
+                for s in range(p_start + 1, s_cnt):
+                    oh_u = jnp.logical_or(oh_u, rows_p == idxs[s])
+                cols.append(oh_u)
+            oh_t = (cols[0] if u == 1
+                    else jnp.concatenate(cols, axis=1)).astype(jnp.bfloat16)
             x = lax.dot_general(oh_t, hi_p, dim0,
                                 preferred_element_type=jnp.float32)
             if lo_p is not None:
                 x = x + lax.dot_general(oh_t, lo_p, dim0,
                                         preferred_element_type=jnp.float32)
-            x = x - off
+            x = x - off_u
             x = jnp.maximum(x * s0_ref[:] + b0_ref[:], 0.0)
             x = jnp.dot(x.astype(w1.dtype), w1,
                         preferred_element_type=jnp.float32)
@@ -332,8 +351,12 @@ def _mse_kernel(base_ref, idx_ref, xyzt_ref, w0r_ref, *rest,
             x = jnp.dot(x.astype(w2.dtype), w2,
                         preferred_element_type=jnp.float32)
             x = jnp.maximum(x * s2_ref[:] + b2_ref[:], 0.0)
-            x = jnp.where(kthr > kk, x, -jnp.inf)
-            return jnp.maximum(acc, x)
+            m = jnp.where(kthr > kk0, x[0:t], -jnp.inf)
+            for uu in range(1, u):
+                m = jnp.maximum(
+                    m, jnp.where(kthr > kk0 + uu,
+                                 x[uu * t:(uu + 1) * t], -jnp.inf))
+            return jnp.maximum(acc, m)
 
         return body
 
@@ -341,7 +364,9 @@ def _mse_kernel(base_ref, idx_ref, xyzt_ref, w0r_ref, *rest,
     for k_lo, k_hi, p_start in phases:
         if k_lo == k_hi:
             continue
-        acc = lax.fori_loop(k_lo, k_hi, make_body(p_start), acc)
+        u = max(d for d in (4, 2, 1)
+                if k_lo % d == 0 and (k_hi - k_lo) % d == 0)
+        acc = lax.fori_loop(k_lo // u, k_hi // u, make_body(p_start, u), acc)
     out_ref[0] = acc
 
 
@@ -654,13 +679,17 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
     t = idx_ref.shape[3]
     c = f1t_ref.shape[2]
 
-    rows = lax.broadcasted_iota(jnp.int32, (n2, t), dimension=0)
+    # U neighbors per iteration (lane-concatenated one-hots, see
+    # _plf_kernel): gathers + dense chain + WeightNet run on [U*T] rows
+    u = max(d for d in (4, 2, 1) if nsample % d == 0)
+    rows = lax.broadcasted_iota(jnp.int32, (n2, u * t), dimension=0)
     dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
     xyz2 = xyz2_ref[0].astype(jnp.float32)
     xyz2_hi = xyz2.astype(jnp.bfloat16)
     xyz2_lo = (xyz2 - xyz2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xyz1 = xyz1_ref[0].astype(jnp.float32)  # [T, 3]
-    f1t = f1t_ref[0].astype(jnp.float32)
+    xyz1_1 = xyz1_ref[0].astype(jnp.float32)  # [T, 3]
+    xyz1 = jnp.concatenate([xyz1_1] * u, axis=0)  # [U*T, 3]
+    f1t = jnp.concatenate([f1t_ref[0].astype(jnp.float32)] * u, axis=0)
     f2 = f2t_ref[0]
     if f2.dtype == jnp.bfloat16:
         f2_hi, f2_lo = f2, None
@@ -670,15 +699,16 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
     w1 = w1_ref[:]
     w2 = w2_ref[:]
 
-    def body(kk, acc):
-        idx_k = idx_ref[0, kk]  # [1, T]
-        oh_t = (rows == idx_k).astype(jnp.bfloat16)  # [N2, T]
+    def body(kg, acc):
+        idx_cat = jnp.concatenate(
+            [idx_ref[0, kg * u + uu] for uu in range(u)], axis=1)  # [1,U*T]
+        oh_t = (rows == idx_cat).astype(jnp.bfloat16)  # [N2, U*T]
         g = lax.dot_general(oh_t, f2_hi, dim0,
                             preferred_element_type=jnp.float32)
         if f2_lo is not None:
             g = g + lax.dot_general(oh_t, f2_lo, dim0,
                                     preferred_element_type=jnp.float32)
-        # dirs = xyz2[idx_k] - xyz1 (hi/lo one-hot gather), [T, 3]
+        # dirs = xyz2[idx_k] - xyz1 (hi/lo one-hot gather), [U*T, 3]
         d_k = (lax.dot_general(oh_t, xyz2_hi, dim0,
                                preferred_element_type=jnp.float32)
                + lax.dot_general(oh_t, xyz2_lo, dim0,
@@ -706,10 +736,15 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
         w = jnp.maximum(jnp.dot(w, wn2_ref[:],
                                 preferred_element_type=jnp.float32)
                         + wnb2_ref[:], 0.0)
-        return acc + w * x
+        wx = w * x
+        part = wx[0:t]
+        for uu in range(1, u):
+            part = part + wx[uu * t:(uu + 1) * t]
+        return acc + part
 
     init = jnp.zeros((t, c), jnp.float32)
-    out_ref[0] = lax.fori_loop(0, nsample, body, init).astype(out_ref.dtype)
+    out_ref[0] = lax.fori_loop(0, nsample // u, body,
+                               init).astype(out_ref.dtype)
 
 
 def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
@@ -722,12 +757,13 @@ def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
     t = idx_ref.shape[3]
     c = p2p_ref.shape[2]
 
-    rows = lax.broadcasted_iota(jnp.int32, (n, t), dimension=0)
+    u = max(d for d in (4, 2, 1) if nsample % d == 0)
+    rows = lax.broadcasted_iota(jnp.int32, (n, u * t), dimension=0)
     dim0 = (((0,), (0,)), ((), ()))
     xyz1 = xyz1_ref[0].astype(jnp.float32)
     xyz1_hi = xyz1.astype(jnp.bfloat16)
     xyz1_lo = (xyz1 - xyz1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xyz1_t = xyz1t_ref[0].astype(jnp.float32)
+    xyz1_t = jnp.concatenate([xyz1t_ref[0].astype(jnp.float32)] * u, axis=0)
     p2p = p2p_ref[0]
     if p2p.dtype == jnp.bfloat16:
         hi, lo = p2p, None
@@ -735,9 +771,10 @@ def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
         hi = p2p.astype(jnp.bfloat16)
         lo = (p2p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def body(kk, acc):
-        idx_k = idx_ref[0, kk]  # [1, T]
-        oh_t = (rows == idx_k).astype(jnp.bfloat16)
+    def body(kg, acc):
+        idx_cat = jnp.concatenate(
+            [idx_ref[0, kg * u + uu] for uu in range(u)], axis=1)  # [1,U*T]
+        oh_t = (rows == idx_cat).astype(jnp.bfloat16)
         g = lax.dot_general(oh_t, hi, dim0,
                             preferred_element_type=jnp.float32)
         if lo is not None:
@@ -747,7 +784,7 @@ def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
                                preferred_element_type=jnp.float32)
                + lax.dot_general(oh_t, xyz1_lo, dim0,
                                  preferred_element_type=jnp.float32)
-               - xyz1_t)  # [T, 3]
+               - xyz1_t)  # [U*T, 3]
         w = jnp.maximum(jnp.dot(
             d_k, wn0_ref[:],
             preferred_element_type=jnp.float32) + wnb0_ref[:], 0.0)
@@ -757,10 +794,14 @@ def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
         w = jnp.maximum(jnp.dot(w, wn2_ref[:],
                                 preferred_element_type=jnp.float32)
                         + wnb2_ref[:], 0.0)
-        return acc + w * g
+        wg = w * g
+        part = wg[0:t]
+        for uu in range(1, u):
+            part = part + wg[uu * t:(uu + 1) * t]
+        return acc + part
 
     init = jnp.zeros((t, c), jnp.float32)
-    out_ref[0] = lax.fori_loop(0, nsample, body, init)
+    out_ref[0] = lax.fori_loop(0, nsample // u, body, init)
 
 
 def _km_idx(idx: Array) -> Array:
@@ -806,18 +847,29 @@ def fused_cost_volume(
     idx2_km = _km_idx(idx2)
     idx1_km = _km_idx(idx1)
 
+    # row-tile the queries (like _plf_kernel): with the unrolled k loop the
+    # [U*T, C] chain intermediates at full N=384+ blow the 16 MB VMEM stack
+    tile = n if n <= 128 else 128
+    assert n % tile == 0, (n, tile)
+    grid = (b, n // tile)
+
     def specs(shapes):
         out = []
         for nd in shapes:
-            out.append(pl.BlockSpec(nd, (lambda bi, _n=len(nd): (0,) * _n),
-                                    memory_space=pltpu.VMEM))
+            out.append(pl.BlockSpec(
+                nd, (lambda bi, ti, _n=len(nd): (0,) * _n),
+                memory_space=pltpu.VMEM))
         return out
 
-    full3 = pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0),
+    full3 = pl.BlockSpec((1, n, c), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
-    xyz_spec = pl.BlockSpec((1, n, 3), lambda bi: (bi, 0, 0),
+    tile3 = pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM)
+    xyz_full = pl.BlockSpec((1, n, 3), lambda bi, ti: (bi, 0, 0),
                             memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, k, 1, n), lambda bi: (bi, 0, 0, 0),
+    xyz_tile = pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, k, 1, tile), lambda bi, ti: (bi, 0, 0, ti),
                             memory_space=pltpu.VMEM)
 
     # bf16 serving keeps the point-to-patch intermediate in bf16 so the
@@ -827,21 +879,21 @@ def fused_cost_volume(
     p2p = pl.pallas_call(
         functools.partial(_cv_kernel, nsample=k),
         out_shape=jax.ShapeDtypeStruct((b, n, c), p2p_dtype),
-        grid=(b,),
-        in_specs=[full3, full3, idx_spec, xyz_spec, xyz_spec]
+        grid=grid,
+        in_specs=[tile3, full3, idx_spec, xyz_full, xyz_tile]
         + specs([p.shape for p in dense])
         + specs([p.shape for p in wn1]),
-        out_specs=full3,
+        out_specs=tile3,
         interpret=interpret,
     )(f1t, f2t, idx2_km, xyz2, xyz1, *dense, *wn1)
 
     return pl.pallas_call(
         functools.partial(_cv_agg_kernel, nsample=k),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
-        grid=(b,),
-        in_specs=[full3, idx_spec, xyz_spec, xyz_spec]
+        grid=grid,
+        in_specs=[full3, idx_spec, xyz_full, xyz_tile]
         + specs([p.shape for p in wn2]),
-        out_specs=full3,
+        out_specs=tile3,
         interpret=interpret,
     )(p2p, idx1_km, xyz1, xyz1, *wn2)
 
