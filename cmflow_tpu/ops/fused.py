@@ -90,7 +90,7 @@ def _plf_kernel(base_ref, idx_ref, xyzt_ref, wrel_ref, *rest,
     # along lanes so the gather and the dense chain run as ONE [U*T, C]
     # matmul each — 4x fewer serialization points between small matmuls
     # (measured: the per-k loop left the MXU ~50% idle)
-    u = max(d for d in (4, 2, 1) if nsample % d == 0)
+    u = max(d for d in (8, 4, 2, 1) if nsample % d == 0)
     rows = lax.broadcasted_iota(jnp.int32, (n, u * t), dimension=0)
     base = base_ref[0]
     off1 = _tile_offset(xyzt_ref, wrel_ref)  # [T, C1], per tile not per k
@@ -364,7 +364,7 @@ def _mse_kernel(base_ref, idx_ref, xyzt_ref, w0r_ref, *rest,
     for k_lo, k_hi, p_start in phases:
         if k_lo == k_hi:
             continue
-        u = max(d for d in (4, 2, 1)
+        u = max(d for d in (8, 4, 2, 1)
                 if k_lo % d == 0 and (k_hi - k_lo) % d == 0)
         acc = lax.fori_loop(k_lo // u, k_hi // u, make_body(p_start, u), acc)
     out_ref[0] = acc
@@ -681,7 +681,7 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
 
     # U neighbors per iteration (lane-concatenated one-hots, see
     # _plf_kernel): gathers + dense chain + WeightNet run on [U*T] rows
-    u = max(d for d in (4, 2, 1) if nsample % d == 0)
+    u = max(d for d in (8, 4, 2, 1) if nsample % d == 0)
     rows = lax.broadcasted_iota(jnp.int32, (n2, u * t), dimension=0)
     dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
     xyz2 = xyz2_ref[0].astype(jnp.float32)
@@ -757,7 +757,7 @@ def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
     t = idx_ref.shape[3]
     c = p2p_ref.shape[2]
 
-    u = max(d for d in (4, 2, 1) if nsample % d == 0)
+    u = max(d for d in (8, 4, 2, 1) if nsample % d == 0)
     rows = lax.broadcasted_iota(jnp.int32, (n, u * t), dimension=0)
     dim0 = (((0,), (0,)), ((), ()))
     xyz1 = xyz1_ref[0].astype(jnp.float32)
