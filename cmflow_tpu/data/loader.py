@@ -35,6 +35,7 @@ class BatchLoader:
         prefetch: int = 2,
         seed: int = 1234,
         pad_batch: bool = False,
+        plan: Optional[List[dict]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,9 +46,19 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.pad_batch = pad_batch
+        # explicit batch plan (lane-batched temporal eval): each entry is
+        # {"indices": [dataset idx per lane], "lane_valid": [bool per
+        # lane], "reset": [bool per lane]} — batches are produced in plan
+        # order with the same bucket padding/prefetch machinery, and the
+        # metadata is attached as "lane_valid" / "reset" / "_frame_idx"
+        # ("reset" is a real batch key so it rides the single packed
+        # host->device upload; "_frame_idx" and "lane_valid" stay on host)
+        self.plan = plan
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
+        if self.plan is not None:
+            return len(self.plan)
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -83,18 +94,29 @@ class BatchLoader:
             batch["lane_valid"] = lane
         return batch
 
+    def _make_plan_batch(self, entry: dict) -> Sample:
+        batch = self._make_batch(list(entry["indices"]))
+        batch["lane_valid"] = np.asarray(entry["lane_valid"], bool)
+        batch["reset"] = np.asarray(entry["reset"], bool)
+        batch["_frame_idx"] = np.asarray(entry["indices"], np.int64)
+        return batch
+
     def __iter__(self) -> Iterator[Sample]:
-        idx = self._indices()
-        batches = [
-            idx[i: i + self.batch_size]
-            for i in range(0, len(idx), self.batch_size)
-        ]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+        if self.plan is not None:
+            jobs = [(self._make_plan_batch, e) for e in self.plan]
+        else:
+            idx = self._indices()
+            batches = [
+                idx[i: i + self.batch_size]
+                for i in range(0, len(idx), self.batch_size)
+            ]
+            if self.drop_last:
+                batches = [b for b in batches if len(b) == self.batch_size]
+            jobs = [(self._make_batch, list(b)) for b in batches]
 
         if self.num_workers <= 0:
-            for b in batches:
-                yield self._make_batch(list(b))
+            for fn, arg in jobs:
+                yield fn(arg)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -107,9 +129,8 @@ class BatchLoader:
                     # at O(workers + prefetch), not O(epoch)
                     window = self.num_workers + self.prefetch
                     pending = []
-                    it = iter(batches)
-                    for b in it:
-                        pending.append(pool.submit(self._make_batch, list(b)))
+                    for fn, arg in jobs:
+                        pending.append(pool.submit(fn, arg))
                         if len(pending) < window:
                             continue
                         if stop.is_set():

@@ -194,10 +194,68 @@ def _to_device_packed(batch, mesh):
 # --------------------------------------------------------------------------
 # evaluation
 
+def build_clip_plan(clips_info, lanes: int, update_len: int):
+    """Assign eval clips to ``lanes`` parallel lanes (clip-batched
+    temporal evaluation).
+
+    The reference evaluates CMFlow_T frame-sequentially at B=1
+    (clip_util.py:182-301) because the GRU carry chains within a clip —
+    but distinct clips are independent, so a TPU-first loop runs L clips
+    in lockstep lanes and batches the forward.  Each lane processes its
+    clips back-to-back (greedy least-loaded assignment); per-lane resets
+    reproduce the reference schedule exactly: frame i resets iff it
+    starts a clip or ``i % update_len == 0`` (global sample index,
+    matching the B=1 path).  Exhausted lanes repeat their last frame
+    with ``lane_valid=False`` — the compute is discarded but shapes stay
+    static.  Returns a :class:`BatchLoader` plan.
+    """
+    lane_seq = [[] for _ in range(lanes)]  # (frame_idx, reset) per lane
+    for ci in clips_info:
+        tgt = min(range(lanes), key=lambda j: len(lane_seq[j]))
+        s, e = ci["index"]
+        for i in range(s, e):
+            lane_seq[tgt].append((i, i == s or i % update_len == 0))
+    steps = max((len(sq) for sq in lane_seq), default=0)
+    plan = []
+    for t in range(steps):
+        idxs, valid, resets = [], [], []
+        for sq in lane_seq:
+            if t < len(sq):
+                i, r = sq[t]
+                idxs.append(i), valid.append(True), resets.append(r)
+            else:
+                idxs.append(sq[-1][0] if sq else 0)
+                valid.append(False), resets.append(True)
+        plan.append({"indices": idxs, "lane_valid": valid, "reset": resets})
+    return plan
+
+
+@jax.jit
+def _reset_lanes(gfeat, reset):
+    """Zero the GRU carry of lanes whose current frame opens a new
+    clip/update window (``reset`` rides the packed device batch, so no
+    per-step host->device RPC is paid for it)."""
+    return jnp.where(reset[:, None], 0.0, gfeat)
+
+
+def make_experiment_eval_step(cfg: Config, model):
+    """Build the jitted eval step for an experiment ONCE.
+
+    ``jax.jit`` caches on function identity: rebuilding the closure every
+    epoch would recompile the full serving program each validation pass
+    (minutes per epoch on a remote-compile runtime)."""
+    dtype = (jnp.bfloat16 if cfg.eval_compute_dtype == "bfloat16"
+             else jnp.float32)
+    return steplib.make_eval_step(cfg.model, model,
+                                  fused=cfg.fused_inference,
+                                  compute_dtype=dtype)
+
+
 def evaluate_frames(
     cfg: Config, model, state, dataset, textio,
     save_res_dir: Optional[str] = None,
     vis_dir: Optional[str] = None,
+    eval_step=None,
 ) -> Tuple[Dict, Dict, Dict]:
     """Frame-pair evaluation (eval_one_epoch, main_util.py:93-206), with
     static padded shapes and per-frame metric accumulation.
@@ -205,21 +263,33 @@ def evaluate_frames(
     Also covers CMFlow_T frame-sequential test evaluation
     (test_one_epoch_seq, clip_util.py:182-301): the GRU carry resets at
     clip starts and every ``update_len`` frames.
+
+    Pass ``eval_step`` (from :func:`make_experiment_eval_step`) when
+    calling repeatedly — e.g. the per-epoch validation pass — so the
+    compiled program is reused across calls.
     """
     temporal = cfg.model == "cmflow_t"
-    dtype = (jnp.bfloat16 if cfg.eval_compute_dtype == "bfloat16"
-             else jnp.float32)
-    eval_step = steplib.make_eval_step(cfg.model, model,
-                                       fused=cfg.fused_inference,
-                                       compute_dtype=dtype)
-    # the temporal model is frame-sequential per clip (GRU carry), so it
-    # keeps B=1 — but the carry lives on device, so even there the
-    # pipelined fetch below overlaps host metric work with device compute.
-    batch_size = 1 if temporal else max(1, int(cfg.eval_batch_size))
+    if eval_step is None:
+        eval_step = make_experiment_eval_step(cfg, model)
+    # the temporal model is frame-sequential per clip (GRU carry), but
+    # clips are independent: with >1 clip it runs L clips as lockstep
+    # batch lanes (build_clip_plan) instead of the reference's B=1 walk.
+    # Per-lane resets ride the packed device batch, so the fused engine
+    # sees full batches and the host pays one upload/fetch RPC per step
+    # of L frames.
+    lane_plan = None
+    if temporal and int(cfg.eval_batch_size) > 1 and dataset.clips_info:
+        lanes = min(int(cfg.eval_batch_size), len(dataset.clips_info))
+        lane_plan = build_clip_plan(dataset.clips_info, lanes,
+                                    cfg.update_len)
+        batch_size = lanes
+    else:
+        batch_size = 1 if temporal else max(1, int(cfg.eval_batch_size))
     loader = BatchLoader(
         dataset, batch_size=batch_size, shuffle=False, drop_last=False,
         pad_bucket=cfg.num_points, pad_multiple=cfg.eval_pad_multiple,
         num_workers=cfg.num_workers, pad_batch=not temporal,
+        plan=lane_plan,
     )
 
     sf_metric = {k: 0.0 for k in
@@ -246,9 +316,13 @@ def evaluate_frames(
         pred_f, pred_m, pred_t = _unpack_preds(
             packed, batch["pc1"].shape[-2])
         lane_valid = batch.get("lane_valid")
+        frame_idx = batch.get("_frame_idx")  # set in lane-plan mode
         for bi in range(pred_f.shape[0]):
             if lane_valid is not None and not lane_valid[bi]:
-                continue  # batch-padding lane (short final batch)
+                continue  # padding lane (short final batch/exhausted clip)
+            # global dataset index of this frame: sequential order unless
+            # a lane plan reordered frames across clip lanes
+            fidx = int(frame_idx[bi]) if frame_idx is not None else num_pcs
             nv = int(batch["valid1"][bi].sum())
             if nv == 0:
                 continue
@@ -273,7 +347,7 @@ def evaluate_frames(
                 pose_metric[k] += pose[k]
 
             if save_res_dir is not None:
-                clip = clip_of_frame.get(num_pcs, "clip_0")
+                clip = clip_of_frame.get(fidx, "clip_0")
                 cdir = os.path.join(save_res_dir, clip)
                 os.makedirs(cdir, exist_ok=True)
                 # reference stores [3, N] layouts (main_util.py:149-156)
@@ -285,7 +359,7 @@ def evaluate_frames(
                     "pred_m": m.astype(float).tolist(),
                     "pred_t": pred_t[bi].astype(float).tolist(),
                 }
-                with open(os.path.join(cdir, f"{num_pcs}.json"), "w") as fo:
+                with open(os.path.join(cdir, f"{fidx}.json"), "w") as fo:
                     json.dump(out, fo)
 
             if vis_dir is not None:
@@ -295,10 +369,10 @@ def evaluate_frames(
 
                 os.makedirs(vis_dir, exist_ok=True)
                 plot_flow_bev(
-                    pc1, f, os.path.join(vis_dir, f"{num_pcs}_flow.png"))
+                    pc1, f, os.path.join(vis_dir, f"{fidx}_flow.png"))
                 plot_seg_bev(
                     pc1, m > cfg.stat_thres,
-                    os.path.join(vis_dir, f"{num_pcs}_seg.png"))
+                    os.path.join(vis_dir, f"{fidx}_seg.png"))
             num_pcs += 1
 
     gfeat = None
@@ -310,13 +384,18 @@ def evaluate_frames(
         t_now = time.perf_counter()
         t_load += t_now - t_mark
         dev = _to_device_packed(
-            {k: v for k, v in batch.items() if k != "lane_valid"}, None)
+            {k: v for k, v in batch.items()
+             if k != "lane_valid" and not k.startswith("_")}, None)
         t_h2d += time.perf_counter() - t_now
         t_now = time.perf_counter()
         if temporal:
-            reset = (i in clip_starts) or (i % cfg.update_len == 0)
-            if reset or gfeat is None or gfeat.shape[0] != dev["pc1"].shape[0]:
+            if gfeat is None or gfeat.shape[0] != dev["pc1"].shape[0]:
                 gfeat = jnp.zeros((dev["pc1"].shape[0], model.cfg.prop_width))
+            if lane_plan is not None:
+                # per-lane reset flags came up with the packed batch
+                gfeat = _reset_lanes(gfeat, dev["reset"])
+            elif (i in clip_starts) or (i % cfg.update_len == 0):
+                gfeat = jnp.zeros_like(gfeat)
             pred_f, pred_cls, pred_t, pred_m, gfeat = eval_step(
                 state, dev, gfeat)
         else:
@@ -404,22 +483,33 @@ def train_experiment(cfg: Config, textio=None) -> Dict:
     best_rne = np.inf
     best_path = os.path.join(exp_dir, "models", "best")
     item_keys = LOSS_ITEMS[cfg.model]
+    eval_step = make_experiment_eval_step(cfg, model)
 
     for epoch in range(cfg.epochs):
         textio.cprint(f"==== epoch {epoch} ====")
         t0 = time.perf_counter()
-        sums = {k: 0.0 for k in item_keys}
+        # loss items accumulate ON DEVICE (tiny stack/add dispatches) and
+        # are fetched once per epoch: a per-step ``float(items[k])`` costs
+        # one ~40 ms fetch RPC per item on tunneled runtimes — more host
+        # stall than the train step itself — and also syncs the dispatch
+        # pipeline every step
+        sums_dev = None
         nb = 0
         for batch in loader:
             dev = _to_device_packed(
                 {k: v for k, v in batch.items()
                  if k not in ("valid1", "valid2")}, mesh)
             state, items = step_fn(state, dev)
-            for k in item_keys:
-                sums[k] += float(items[k])
+            vec = jnp.stack([items[k] for k in item_keys])
+            sums_dev = vec if sums_dev is None else sums_dev + vec
             nb += 1
+        # ONE fetch RPC per epoch; syncs through every step's outputs, so
+        # the wall clock below is honest (only a fetch syncs on the tunnel)
+        sums = (np.asarray(sums_dev) if sums_dev is not None
+                else np.zeros(len(item_keys)))
         dt = time.perf_counter() - t0
-        means = {k: v / max(nb, 1) for k, v in sums.items()}
+        means = {k: float(sums[i]) / max(nb, 1)
+                 for i, k in enumerate(item_keys)}
         textio.cprint(
             f"mean train loss: {means['Loss']:.6f} "
             f"({nb} steps, {dt:.1f}s, "
@@ -427,7 +517,8 @@ def train_experiment(cfg: Config, textio=None) -> Dict:
         )
         metrics_out.write({"epoch": epoch, "phase": "train", **means})
 
-        sf, seg, pose = evaluate_frames(cfg, model, state, val_ds, textio)
+        sf, seg, pose = evaluate_frames(cfg, model, state, val_ds, textio,
+                                        eval_step=eval_step)
         textio.cprint(f"mean RNE score: {sf['rne']:.6f}")
         metrics_out.write({"epoch": epoch, "phase": "val", **sf, **seg,
                            **pose})

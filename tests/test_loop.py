@@ -86,6 +86,28 @@ class TestTrainLoop:
         assert len(d["pred_f"]) == 3
         assert np.array(d["pred_t"]).shape == (4, 4)
 
+    def test_eval_step_built_once_across_epochs(self, tiny_root, tmp_path,
+                                                monkeypatch):
+        """The per-epoch validation pass must reuse ONE jitted eval step:
+        jax.jit caches on closure identity, so rebuilding it every epoch
+        recompiles the full serving program each validation (minutes per
+        epoch on the remote-compile TPU runtime)."""
+        from cmflow_tpu.train import loop as looplib
+        from cmflow_tpu.train import steps as steplib
+
+        calls = []
+        real = steplib.make_eval_step
+
+        def counting(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(steplib, "make_eval_step", counting)
+        cfg = tiny_cfg(tiny_root, tmp_path, epochs=2)
+        out = looplib.train_experiment(cfg)
+        assert np.isfinite(out["best_rne"])
+        assert len(calls) == 1
+
     def test_checkpoint_roundtrip(self, tiny_root, tmp_path):
         import jax.numpy as jnp
 
@@ -209,6 +231,148 @@ class TestTemporalEvalCarry:
         # carry and therefore differ from frame 0's prediction
         assert not np.allclose(preds[0], preds[1]), \
             "GRU carry is being reset every frame"
+
+
+class TestClipPlan:
+    def test_plan_covers_each_frame_once_with_reference_resets(self):
+        from cmflow_tpu.train.loop import build_clip_plan
+
+        clips = [
+            {"clip_name": "delft_1", "index": [0, 4]},
+            {"clip_name": "delft_2", "index": [4, 9]},
+            {"clip_name": "delft_3", "index": [9, 11]},
+        ]
+        plan = build_clip_plan(clips, lanes=2, update_len=5)
+        seen = {}
+        for e in plan:
+            assert len(e["indices"]) == 2
+            for i, v, r in zip(e["indices"], e["lane_valid"], e["reset"]):
+                if v:
+                    assert i not in seen
+                    seen[i] = r
+        assert sorted(seen) == list(range(11))
+        # reference schedule: reset at clip starts and i % update_len == 0
+        expect = {i: (i in (0, 4, 9)) or (i % 5 == 0) for i in range(11)}
+        assert seen == expect
+        # lanes step each clip's frames in order
+        order = {}
+        for t, e in enumerate(plan):
+            for lane, (i, v) in enumerate(zip(e["indices"],
+                                              e["lane_valid"])):
+                if v:
+                    order.setdefault(lane, []).append(i)
+        for frames in order.values():
+            # within a lane, each clip's indices appear consecutively
+            # ascending
+            for a, b in zip(frames, frames[1:]):
+                assert b == a + 1 or seen[b]  # next-in-clip or a clip start
+
+    def test_loader_plan_mode_attaches_metadata(self, rng):
+        from cmflow_tpu.data.loader import BatchLoader
+
+        class DS:
+            def __len__(self):
+                return 6
+
+            def __getitem__(self, i):
+                return {"pc1": np.full((4, 3), i, np.float32),
+                        "pc2": np.full((4, 3), i, np.float32)}
+
+        plan = [
+            {"indices": [0, 3], "lane_valid": [True, True],
+             "reset": [True, True]},
+            {"indices": [1, 3], "lane_valid": [True, False],
+             "reset": [False, True]},
+        ]
+        for workers in (0, 2):
+            out = list(BatchLoader(DS(), batch_size=2, plan=plan,
+                                   num_workers=workers))
+            assert len(out) == 2
+            np.testing.assert_array_equal(out[0]["_frame_idx"], [0, 3])
+            np.testing.assert_array_equal(out[1]["lane_valid"],
+                                          [True, False])
+            np.testing.assert_array_equal(out[1]["reset"], [False, True])
+            assert out[1]["pc1"][0, 0, 0] == 1.0
+            assert out[1]["pc1"][1, 0, 0] == 3.0
+
+
+class TestLaneBatchedTemporalEval:
+    def test_lane_batched_matches_b1_path(self, rng, tmp_path):
+        """Clip-lane-batched CMFlow_T eval (build_clip_plan) must produce
+        the same metrics and per-frame dumps as the reference-shaped B=1
+        frame-sequential walk (clip_util.py:182-301 semantics)."""
+        import jax.numpy as jnp
+
+        from cmflow_tpu.models import build_model
+        from cmflow_tpu.train.loop import evaluate_frames, init_model_state
+        from cmflow_tpu.utils.config import Config
+        from cmflow_tpu.utils.logging import IOStream
+
+        n = 64
+        frames = []
+        for fi in range(7):
+            frames.append({
+                "pc1": rng.randn(n, 3).astype(np.float32) * 5,
+                "pc2": rng.randn(n, 3).astype(np.float32) * 5,
+                "ft1": rng.randn(n, 3).astype(np.float32),
+                "ft2": rng.randn(n, 3).astype(np.float32),
+                "trans": np.eye(4, dtype=np.float32),
+                "labels": rng.randn(n, 3).astype(np.float32) * 0.1,
+                "mask": (rng.rand(n) > 0.4).astype(np.float32),
+                "interval": np.float32(0.1),
+                "radar_u": np.zeros(n, np.float32),
+                "radar_v": np.zeros(n, np.float32),
+                "opt_flow": np.zeros((n, 2), np.float32),
+                "valid1": np.ones(n, bool),
+                "valid2": np.ones(n, bool),
+            })
+
+        class Clips:
+            clips_info = [{"clip_name": "delft_1", "index": [0, 3]},
+                          {"clip_name": "delft_2", "index": [3, 7]}]
+            res = {"r_res": 0.2, "theta_res": 1.5 * np.pi / 180,
+                   "phi_res": 1.5 * np.pi / 180}
+
+            def __len__(self):
+                return 7
+
+            def __getitem__(self, i):
+                return {k: v.copy() if hasattr(v, "copy") else v
+                        for k, v in frames[i].items()}
+
+        model = build_model("cmflow_t")
+        example = {k: jnp.asarray(v)[None] for k, v in frames[0].items()
+                   if k not in ("valid1", "valid2")}
+        example["_steps_per_epoch"] = None
+        base = Config(exp_name="t", model="cmflow_t", num_points=n,
+                      num_workers=0, eval_pad_multiple=n, update_len=4)
+        state = init_model_state(base, model, None, example)
+
+        outs = {}
+        for lanes in (1, 2):
+            cfg = base.replace(eval_batch_size=lanes)
+            sdir = str(tmp_path / f"res{lanes}")
+            outs[lanes] = evaluate_frames(
+                cfg, model, state, Clips(),
+                IOStream(str(tmp_path / f"log{lanes}")), save_res_dir=sdir)
+            assert sum(
+                len(fs) for _, _, fs in os.walk(sdir)) >= 7
+
+        for d1, d2 in zip(outs[1], outs[2]):
+            for k in d1:
+                assert np.isclose(d1[k], d2[k], rtol=2e-4, atol=2e-5), \
+                    (k, d1[k], d2[k])
+        # per-frame dumps must match frame-for-frame (same global index)
+        for clip, lo, hi in (("delft_1", 0, 3), ("delft_2", 3, 7)):
+            for i in range(lo, hi):
+                preds = []
+                for lanes in (1, 2):
+                    with open(os.path.join(
+                            str(tmp_path / f"res{lanes}"), clip,
+                            f"{i}.json")) as f:
+                        preds.append(np.asarray(json.load(f)["pred_f"]))
+                np.testing.assert_allclose(preds[0], preds[1],
+                                           rtol=2e-4, atol=2e-5)
 
 
 class TestPackedTransfer:
