@@ -33,6 +33,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _start_watchdog():
+    """Hard-exit if the run wedges (the tunneled TPU backend can hang at
+    init when the tunnel is down — observed 2026-08-17: even backend
+    discovery blocks forever).  A bounded failure beats an infinite hang
+    for whoever invokes the bench."""
+    import threading
+
+    limit = float(os.environ.get("BENCH_WATCHDOG_S", "2700"))
+
+    def fire():
+        log(f"bench watchdog: no completion after {limit:.0f}s "
+            "(tunnel wedged?) — aborting")
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def make_clouds(b, n, seed=0):
     rng = np.random.RandomState(seed)
     pc1 = (rng.rand(b, n, 3) * np.array([38, 30, 4]) +
@@ -321,6 +342,7 @@ def bench_torch_cpu(b, n):
 
 
 def main():
+    _start_watchdog()
     # headline: the bf16 serving mode — the production-serving
     # configuration (single-pass MXU gathers; parity-tested against the
     # f32 engine, tests/test_fused.py bf16 test); f32 reported alongside
@@ -392,6 +414,11 @@ def main():
         },
     }
     print(json.dumps(record))
+    # the tunneled TPU platform hangs interpreter teardown; hard-exit after
+    # the JSON line is out (all timings already fetched their values)
+    from cmflow_tpu.utils.runtime import exit_now_if_tunneled
+
+    exit_now_if_tunneled()
 
 
 if __name__ == "__main__":

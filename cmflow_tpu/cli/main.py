@@ -33,6 +33,12 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--platform", type=str, default=None,
                    choices=[None, "auto", "cpu", "tpu"])
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="training activation dtype (params/stats stay f32)")
+    p.add_argument("--eval_compute_dtype", type=str, default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="serving-engine dtype for evaluation passes")
     return p.parse_args()
 
 
@@ -76,6 +82,11 @@ def main():
 
             jax.profiler.stop_trace()
     print("FINISH")
+    # the tunneled TPU platform hangs interpreter teardown indefinitely;
+    # everything is flushed/fetched by now (utils/runtime.py)
+    from cmflow_tpu.utils.runtime import exit_now_if_tunneled
+
+    exit_now_if_tunneled()
 
 
 if __name__ == "__main__":

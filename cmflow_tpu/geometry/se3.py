@@ -75,6 +75,45 @@ def _svd3_jvp(primals, tangents):
     return (u, s, vh), (du, ds, dvh)
 
 
+def _cof3(x: Array) -> Array:
+    """Cofactor matrix of batched 3x3 ``x`` (so ``x^{-T} = cof / det``)."""
+    a, b, c = x[..., 0, 0], x[..., 0, 1], x[..., 0, 2]
+    d, e, f = x[..., 1, 0], x[..., 1, 1], x[..., 1, 2]
+    g, h, i = x[..., 2, 0], x[..., 2, 1], x[..., 2, 2]
+    row0 = jnp.stack([e * i - f * h, f * g - d * i, d * h - e * g], -1)
+    row1 = jnp.stack([c * h - b * i, a * i - c * g, b * g - a * h], -1)
+    row2 = jnp.stack([b * f - c * e, c * d - a * f, a * e - b * d], -1)
+    return jnp.stack([row0, row1, row2], -2)
+
+
+def polar3(h: Array, iters: int = 9) -> Array:
+    """Orthogonal polar factor ``W = U @ Vh`` of batched 3x3 ``h``
+    (``h = U S Vh``), via determinant-scaled Newton iteration
+    ``X <- (g X + g^-1 X^-T) / 2`` with ``g = |det X|^(-1/3)`` (Higham,
+    Functions of Matrices §8.6).
+
+    Pure elementwise math + tiny stacks — no eigh/qdwh custom calls, so a
+    ``[B, 3, 3]`` batch costs microseconds on TPU where
+    ``jnp.linalg.svd`` burns ~0.2-0.4 ms/step of the serving engine in
+    sequential custom-call loops.  Converges to f32 roundoff in <=9
+    iterations for condition numbers up to ~1e6; for exactly singular
+    ``h`` the result is finite garbage (the rotation is ill-determined
+    there under any algorithm).  Forward (serving) use only — gradients
+    should go through the SVD path's regularized JVP.
+    """
+    normf = jnp.sqrt(jnp.sum(h * h, axis=(-2, -1), keepdims=True))
+    x = h / jnp.maximum(normf, 1e-30)
+    for _ in range(iters):
+        cof = _cof3(x)
+        det = jnp.sum(x[..., 0, :] * cof[..., 0, :], axis=-1)
+        det_safe = jnp.where(jnp.abs(det) < 1e-30,
+                             jnp.where(det < 0, -1e-30, 1e-30), det)
+        gamma = jnp.abs(det_safe) ** (-1.0 / 3.0)
+        gd = (gamma * det_safe)[..., None, None]
+        x = 0.5 * (gamma[..., None, None] * x + cof / gd)
+    return x
+
+
 def weighted_kabsch(
     a: Array,
     b: Array,
@@ -83,6 +122,7 @@ def weighted_kabsch(
     centroid: str = "norm",
     reflect: str = "row",
     n_override: Optional[Array] = None,
+    solver: str = "svd",
 ) -> Array:
     """Best-fit rigid transform T with ``b ≈ T @ a`` per batch element.
 
@@ -103,6 +143,12 @@ def weighted_kabsch(
         ``"mean_n"`` mode — used with padded point sets so the centroid
         divisor matches the *real* point count of each cloud (the reference
         always runs unpadded, dividing by its dynamic N).
+      solver: ``"svd"`` (default; differentiable via the regularized JVP)
+        or ``"polar"`` — Newton polar iteration (:func:`polar3`), exact
+        for the ``"row"``/``"none"`` reflect modes because the reference's
+        row-negation fix factors through the polar factor alone:
+        ``R = diag(1,1,sign det H) @ (U Vh)^T``.  Serving-path use;
+        ~0.3 ms/step cheaper than the TPU SVD custom calls.
 
     Returns:
       ``[B, 4, 4]`` homogeneous transforms.
@@ -135,25 +181,39 @@ def weighted_kabsch(
     h = jnp.einsum("bnc,bn,bnd->bcd", am, w, bm,
                    preferred_element_type=jnp.float32)
 
-    # jnp.linalg.svd returns (U, S, Vh) with H = U @ diag(S) @ Vh;
-    # torch.svd returns V = Vh^T.
-    u, _, vh = _svd3(h)
-    v = jnp.swapaxes(vh, -1, -2)
-    ut = jnp.swapaxes(u, -1, -2)
+    if solver == "polar":
+        # z = V U^T is the transpose of the polar factor W = U Vh, and
+        # sign(det z) = sign(det H) (the singular values are >= 0), so
+        # neither the reflection test nor the row fix needs U/V separately
+        if reflect not in ("row", "none"):
+            raise ValueError("solver='polar' supports reflect row|none")
+        z = jnp.swapaxes(polar3(h), -1, -2)
+        flip = jnp.where(jnp.linalg.det(h) < 0, -1.0, 1.0).astype(a.dtype)
+        if reflect == "row":
+            z = z.at[:, 2, :].multiply(flip[:, None])
+        r = z
+    elif solver == "svd":
+        # jnp.linalg.svd returns (U, S, Vh) with H = U @ diag(S) @ Vh;
+        # torch.svd returns V = Vh^T.
+        u, _, vh = _svd3(h)
+        v = jnp.swapaxes(vh, -1, -2)
+        ut = jnp.swapaxes(u, -1, -2)
 
-    z = v @ ut
-    det = jnp.linalg.det(z)
-    flip = jnp.where(det < 0, -1.0, 1.0).astype(a.dtype)
+        z = v @ ut
+        det = jnp.linalg.det(z)
+        flip = jnp.where(det < 0, -1.0, 1.0).astype(a.dtype)
 
-    if reflect == "row":
-        # reference-exact: negate third row of V when det < 0
-        v = v.at[:, 2, :].multiply(flip[:, None])
-    elif reflect == "col":
-        v = v.at[:, :, 2].multiply(flip[:, None])
-    elif reflect != "none":
-        raise ValueError(f"unknown reflect mode {reflect!r}")
+        if reflect == "row":
+            # reference-exact: negate third row of V when det < 0
+            v = v.at[:, 2, :].multiply(flip[:, None])
+        elif reflect == "col":
+            v = v.at[:, :, 2].multiply(flip[:, None])
+        elif reflect != "none":
+            raise ValueError(f"unknown reflect mode {reflect!r}")
 
-    r = v @ ut
+        r = v @ ut
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
     t = centroid_b - jnp.einsum("bij,bj->bi", r, centroid_a)
     return make_transform(r, t)
 

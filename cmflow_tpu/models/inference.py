@@ -98,6 +98,9 @@ def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
         h = fused_multi_scale_encoder(
             feats.astype(dtype), idx_list, xyz, packed,
             tuple(nsamples), interpret, out_each)
+        # the mlp2 tail stays in XLA glue deliberately: measured in-kernel
+        # (per-tile [128, C] matmuls after the pool) it costs MORE than
+        # XLA's one [B*N, C] launch (+0.27 ms kernels vs -0.21 ms glue)
         for w, s, b in mlp2_bd:
             h = jnp.maximum(_dot32(h, w, dtype) * s + b, 0.0)
         return h
@@ -148,6 +151,33 @@ def _head(p, s, x, dtype=jnp.float32):
             _dot32(x, p["mlp"][f"dense_{i}"]["kernel"], dtype) * sc + bi,
             0.0)
     return _dot32(x, p["out"]["kernel"], dtype)
+
+
+def _heads_joint(p_fp, s_fp, p_mp, s_mp, x, dtype=jnp.float32):
+    """FlowHead + MotionHead evaluated as ONE chain of full-width matmuls.
+
+    Both heads consume the same ``final`` features; stacking their first-
+    layer kernels column-wise and the rest block-diagonally is exact
+    (channel blocks stay independent through relu/affine) and halves the
+    number of XLA kernel launches on the [B, N, 512] tensors.  Returns
+    ``(flow [B,N,3], logit [B,N,1])``.
+    """
+    from jax.scipy.linalg import block_diag
+
+    for i in range(3):
+        wa = p_fp["mlp"][f"dense_{i}"]["kernel"]
+        wb = p_mp["mlp"][f"dense_{i}"]["kernel"]
+        w = (jnp.concatenate([wa, wb], axis=1) if i == 0
+             else block_diag(wa, wb))
+        sa, ba = fold_bn_affine(p_fp["mlp"][f"bn_{i}"], s_fp["mlp"][f"bn_{i}"])
+        sb, bb = fold_bn_affine(p_mp["mlp"][f"bn_{i}"], s_mp["mlp"][f"bn_{i}"])
+        sc = jnp.concatenate([sa, sb])
+        bi = jnp.concatenate([ba, bb])
+        x = jnp.maximum(_dot32(x, w, dtype) * sc + bi, 0.0)
+    w_out = block_diag(p_fp["out"]["kernel"], p_mp["out"]["kernel"])
+    out = _dot32(x, w_out, dtype)
+    c_fp = p_fp["out"]["kernel"].shape[1]
+    return out[..., :c_fp], out[..., c_fp:]
 
 
 def _trunk(params, stats, cfg, pc1, pc2, ft1, ft2, valid1, valid2,
@@ -212,9 +242,10 @@ def cmflow_infer(
     final = jnp.concatenate(
         [prop, jnp.broadcast_to(g[:, None], (b, n, g.shape[-1]))], axis=-1)
 
-    output = _head(params["fp"], stats["fp"], final, compute_dtype)
-    stat_cls = jax.nn.sigmoid(
-        _head(params["mp"], stats["mp"], final, compute_dtype))[..., 0]
+    output, logit = _heads_joint(params["fp"], stats["fp"],
+                                 params["mp"], stats["mp"], final,
+                                 compute_dtype)
+    stat_cls = jax.nn.sigmoid(logit)[..., 0]
 
     mask = stat_cls > stat_thres
     if valid1 is not None:
@@ -225,7 +256,8 @@ def cmflow_infer(
         w = w * valid1
     w = w / jnp.sum(w, axis=1, keepdims=True)
     pre_trans = se3.weighted_kabsch(
-        pc1, pc1 + output, w, centroid="sum", reflect="row")
+        pc1, pc1 + output, w, centroid="sum", reflect="row",
+        solver="polar")
 
     sf_rg = se3.rigid_to_flow(pc1, pre_trans)
     sf_agg = jnp.where(mask[..., None], sf_rg, output)
@@ -394,9 +426,10 @@ def cmflow_t_infer(
         [prop, jnp.broadcast_to(gfeat_new[:, None],
                                 (b, n, gfeat_new.shape[-1]))], axis=-1)
 
-    output = _head(params["fp"], stats["fp"], final, compute_dtype)
-    stat_cls = jax.nn.sigmoid(
-        _head(params["mp"], stats["mp"], final, compute_dtype))[..., 0]
+    output, logit = _heads_joint(params["fp"], stats["fp"],
+                                 params["mp"], stats["mp"], final,
+                                 compute_dtype)
+    stat_cls = jax.nn.sigmoid(logit)[..., 0]
 
     mask = stat_cls > stat_thres
     if valid1 is not None:
@@ -409,7 +442,8 @@ def cmflow_t_infer(
         w = w * valid1
     w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
     pre_trans = se3.weighted_kabsch(
-        pc1, pc1 + output, w, centroid="sum", reflect="row")
+        pc1, pc1 + output, w, centroid="sum", reflect="row",
+        solver="polar")
 
     sf_rg = se3.rigid_to_flow(pc1, pre_trans)
     sf_agg = jnp.where(mask[..., None], sf_rg, output)
@@ -454,7 +488,7 @@ def raflow_infer(
 
     trans = se3.weighted_kabsch(
         pc1, pc1_warp, all_mask, centroid="mean_n", reflect="row",
-        n_override=n_valid)
+        n_override=n_valid, solver="polar")
     sf_rg = se3.rigid_to_flow(pc1, trans)
 
     vel1 = ft1[..., 0]
@@ -466,7 +500,7 @@ def raflow_infer(
 
     refit = se3.weighted_kabsch(
         pc1, pc1_warp, mask_s.astype(pc1.dtype), centroid="mean_n",
-        reflect="row", n_override=n_valid)
+        reflect="row", n_override=n_valid, solver="polar")
     frac = jnp.sum(mask_s, axis=1) / n_valid
     use_refit = frac > rigid_pcs
 

@@ -1,10 +1,14 @@
 #!/bin/bash
 # Synthetic convergence gate (VERDICT r1 item 9): train cmflow for 24
 # epochs on a 320-sample synthetic VoD-layout set and watch val RNE fall.
-# Reference recipe: main.py:104-170.  A recorded run (v5e, 2026-08-17,
-# val RNE 0.288 -> 0.100) is checked in as docs/convergence_r2.jsonl.
+# Reference recipe: main.py:104-170.  Recorded runs (v5e, 2026-08-17):
+#   f32  val RNE 0.288 -> 0.100  docs/convergence_r2.jsonl
+#   bf16 val RNE       -> docs/convergence_r3_bf16.jsonl (DTYPE=bfloat16)
+# Env knobs: DS (dataset dir), EXP (exp name), DTYPE (train compute dtype).
 set -e
 DS=${DS:-/tmp/conv_ds}
+EXP=${EXP:-conv_run}
+DTYPE=${DTYPE:-float32}
 if [ ! -d "$DS" ]; then
   python - <<PY
 from cmflow_tpu.data.synthetic import write_synthetic_dataset
@@ -12,10 +16,11 @@ write_synthetic_dataset("$DS", {"train": 320, "val": 48, "test": 16}, seed=5)
 PY
 fi
 python -m cmflow_tpu.cli.main --config configs/cmflow.yaml \
-  --dataset_path "$DS" --exp_name conv_run --epochs 24 --batch_size 16
-python - <<'PY'
+  --dataset_path "$DS" --exp_name "$EXP" --epochs 24 --batch_size 16 \
+  --compute_dtype "$DTYPE"
+python - <<PY
 import json
-rows = [json.loads(l) for l in open("checkpoints/conv_run/metrics.jsonl")]
+rows = [json.loads(l) for l in open("checkpoints/$EXP/metrics.jsonl")]
 rnes = [r["rne"] for r in rows if "rne" in r]
 assert rnes[-1] < 0.6 * rnes[0], f"no convergence: {rnes[0]} -> {rnes[-1]}"
 print(f"converged: val RNE {rnes[0]:.4f} -> {min(rnes):.4f}")

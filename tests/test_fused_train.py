@@ -291,9 +291,13 @@ class TestFusedTrainStep:
         l_flax = trajectory("off")
         l_fused = trajectory("on")
         # the ~2^-16 forward rounding compounds chaotically through
-        # optimizer steps (measured: 0% / 0.3% / 1.4% over 3 steps) —
-        # assert the trajectories track, not that they are identical
-        np.testing.assert_allclose(l_fused, l_flax, rtol=5e-2)
+        # optimizer steps: step 1 (identical params) is tight, later steps
+        # diverge super-linearly through Adam's sign-sensitive updates
+        # (measured across library versions: 6e-6 / 0.2-0.7% / 1.4-5.8%) —
+        # widen the band per step instead of asserting exact tracking
+        np.testing.assert_allclose(l_fused[0], l_flax[0], rtol=1e-3)
+        np.testing.assert_allclose(l_fused[1], l_flax[1], rtol=3e-2)
+        np.testing.assert_allclose(l_fused[2], l_flax[2], rtol=2e-1)
         assert l_fused[-1] < l_fused[0]  # both descend
         assert l_flax[-1] < l_flax[0]
 

@@ -109,6 +109,55 @@ class TestWeightedKabsch:
         det = np.linalg.det(got[0, :3, :3])
         np.testing.assert_allclose(det, 1.0, atol=1e-4)
 
+    def test_polar3_matches_svd_polar_factor(self, rng):
+        from cmflow_tpu.geometry.se3 import polar3
+
+        hs = []
+        for i in range(64):
+            u = np.linalg.qr(rng.randn(3, 3))[0]
+            v = np.linalg.qr(rng.randn(3, 3))[0]
+            s = 10.0 ** rng.uniform(-1.5, 1.5, 3)  # condition up to ~1e3
+            if i % 2:
+                u = -u  # det(h) < 0 cases
+            hs.append(u @ np.diag(s) @ v.T)
+        h = jnp.asarray(np.stack(hs), jnp.float32)
+        w = np.asarray(polar3(h), np.float64)
+        # orthogonal to f32 roundoff
+        eye_err = np.abs(np.swapaxes(w, -1, -2) @ w - np.eye(3)).max()
+        assert eye_err < 1e-5
+        u2, _, vh2 = np.linalg.svd(np.asarray(h, np.float64))
+        np.testing.assert_allclose(w, u2 @ vh2, atol=1e-4)
+
+    def test_polar_solver_matches_svd_solver(self, rng):
+        a = rng.randn(8, 64, 3).astype(np.float32) * 5
+        r0 = np.linalg.qr(rng.randn(3, 3))[0]
+        b = (a @ r0.T + rng.randn(8, 64, 3) * 0.1 + [1.0, 2.0, 3.0]
+             ).astype(np.float32)
+        w = rng.rand(8, 64).astype(np.float32)
+        for centroid in ("norm", "mean_n", "sum"):
+            wn = w / w.sum(1, keepdims=True) if centroid == "sum" else w
+            ref = geometry.weighted_kabsch(
+                jnp.array(a), jnp.array(b), jnp.array(wn),
+                centroid=centroid, reflect="row")
+            got = geometry.weighted_kabsch(
+                jnp.array(a), jnp.array(b), jnp.array(wn),
+                centroid=centroid, reflect="row", solver="polar")
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, err_msg=centroid)
+        # reflection branch: mirrored target flips det(H) negative
+        b_ref = (a @ (np.diag([1.0, 1.0, -1.0]) @ r0).T).astype(np.float32)
+        ref = geometry.weighted_kabsch(jnp.array(a), jnp.array(b_ref),
+                                       jnp.array(w), reflect="row")
+        got = geometry.weighted_kabsch(jnp.array(a), jnp.array(b_ref),
+                                       jnp.array(w), reflect="row",
+                                       solver="polar")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+        # degenerate H stays finite (padding lanes etc.)
+        z = jnp.zeros((2, 8, 3))
+        t = geometry.weighted_kabsch(z, z, None, solver="polar")
+        assert bool(jnp.isfinite(t).all())
+
 
 class TestSE3Utils:
     def test_rigid_to_flow(self, rng):
