@@ -4,11 +4,15 @@
 # Reference recipe: main.py:104-170.  Recorded runs (v5e, 2026-08-17):
 #   f32  val RNE 0.288 -> 0.100  docs/convergence_r2.jsonl
 #   bf16 val RNE       -> docs/convergence_r3_bf16.jsonl (DTYPE=bfloat16)
-# Env knobs: DS (dataset dir), EXP (exp name), DTYPE (train compute dtype).
+# Env knobs: DS (dataset dir), EXP (exp name), DTYPE (train compute dtype),
+# PLATFORM (auto|cpu|tpu — cpu keeps the gate runnable when the TPU tunnel
+# is down), EPOCHS.
 set -e
 DS=${DS:-/tmp/conv_ds}
 EXP=${EXP:-conv_run}
 DTYPE=${DTYPE:-float32}
+PLATFORM=${PLATFORM:-auto}
+EPOCHS=${EPOCHS:-24}
 if [ ! -d "$DS" ]; then
   python - <<PY
 from cmflow_tpu.data.synthetic import write_synthetic_dataset
@@ -16,8 +20,8 @@ write_synthetic_dataset("$DS", {"train": 320, "val": 48, "test": 16}, seed=5)
 PY
 fi
 python -m cmflow_tpu.cli.main --config configs/cmflow.yaml \
-  --dataset_path "$DS" --exp_name "$EXP" --epochs 24 --batch_size 16 \
-  --compute_dtype "$DTYPE"
+  --dataset_path "$DS" --exp_name "$EXP" --epochs "$EPOCHS" --batch_size 16 \
+  --compute_dtype "$DTYPE" --platform "$PLATFORM"
 python - <<PY
 import json
 rows = [json.loads(l) for l in open("checkpoints/$EXP/metrics.jsonl")]

@@ -331,3 +331,44 @@ class TestMxuGroupPoints:
         np.testing.assert_allclose(
             np.asarray(g_mxu, np.float32), np.asarray(g_ref, np.float32),
             rtol=5e-2, atol=6e-2)
+
+
+class TestHeadsJoint:
+    def test_matches_separate_heads(self, rng):
+        """_heads_joint (stacked/block-diagonal fp+mp chain) == two _head
+        calls, bit-level in f32 up to dot re-association."""
+        from cmflow_tpu.models.inference import _head, _heads_joint
+
+        width, b, n = 512, 3, 64
+        mlp = (256, 128, 64)
+
+        def make_head(out_ch, seed):
+            r = np.random.RandomState(seed)
+            p = {"mlp": {}, "out": {}}
+            s = {"mlp": {}}
+            c_in = width
+            for i, c in enumerate(mlp):
+                p["mlp"][f"dense_{i}"] = {"kernel": jnp.asarray(
+                    r.randn(c_in, c).astype(np.float32) / np.sqrt(c_in))}
+                p["mlp"][f"bn_{i}"] = {
+                    "scale": jnp.asarray(r.rand(c).astype(np.float32) + .5),
+                    "bias": jnp.asarray(r.randn(c).astype(np.float32) * .1)}
+                s["mlp"][f"bn_{i}"] = {
+                    "mean": jnp.asarray(r.randn(c).astype(np.float32) * .2),
+                    "var": jnp.asarray(r.rand(c).astype(np.float32) + .5)}
+                c_in = c
+            p["out"]["kernel"] = jnp.asarray(
+                r.randn(c_in, out_ch).astype(np.float32))
+            return p, s
+
+        p_fp, s_fp = make_head(3, 11)
+        p_mp, s_mp = make_head(1, 22)
+        x = jnp.asarray(rng.randn(b, n, width).astype(np.float32))
+
+        flow_j, logit_j = _heads_joint(p_fp, s_fp, p_mp, s_mp, x)
+        flow = _head(p_fp, s_fp, x)
+        logit = _head(p_mp, s_mp, x)
+        np.testing.assert_allclose(np.asarray(flow_j), np.asarray(flow),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(logit_j), np.asarray(logit),
+                                   rtol=2e-5, atol=2e-5)
