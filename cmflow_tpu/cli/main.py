@@ -39,6 +39,8 @@ def parse_args():
     p.add_argument("--eval_compute_dtype", type=str, default=None,
                    choices=[None, "float32", "bfloat16"],
                    help="serving-engine dtype for evaluation passes")
+    p.add_argument("--remat", default=None, action="store_const", const=True,
+                   help="recompute grouped [B,N,K,C] chains in backward")
     return p.parse_args()
 
 

@@ -31,6 +31,8 @@ def build_model(name: str, config: Any = None, axis_name=None):
         import jax.numpy as jnp
 
         kwargs["dtype"] = jnp.dtype(compute_dtype)
+    if getattr(config, "remat", False):
+        kwargs["remat"] = True
     if name == "raflow":
         kwargs["rigid_thres"] = getattr(config, "rigid_thres", 0.15)
     elif name == "cmflow":

@@ -82,6 +82,9 @@ class SceneFlowTrunk(nn.Module):
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # recompute the grouped [B,N,K,C] chains in the backward pass instead
+    # of storing their residuals (HBM-traffic experiment knob)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -97,7 +100,8 @@ class SceneFlowTrunk(nn.Module):
         cfg = self.cfg
         mse = MultiScaleEncoder(
             cfg.sa_radii, cfg.sa_nsamples, cfg.sa_mlp, cfg.sa_mlp2,
-            axis_name=self.axis_name, dtype=self.dtype, name="mse_layer",
+            axis_name=self.axis_name, dtype=self.dtype, remat=self.remat,
+            name="mse_layer",
         )
         # shared weights across the two frames, like the reference's single
         # self.mse_layer applied to both clouds
@@ -116,14 +120,17 @@ class SceneFlowTrunk(nn.Module):
             axis=-1,
         )
 
-        cor = FeatureCorrelator(
+        fc_cls = (nn.remat(FeatureCorrelator, static_argnums=(5,))
+                  if self.remat else FeatureCorrelator)
+        cor = fc_cls(
             cfg.fc_nsample, cfg.fc_mlp, dtype=self.dtype, name="fc_layer"
         )(pc1, pc2, pc1_feat, pc2_feat, train, valid1, valid2)
 
         embeddings = jnp.concatenate([feature1, pc1_feat, cor], axis=-1)
         prop = MultiScaleEncoder(
             cfg.sa_radii, cfg.sa_nsamples, cfg.ep_mlp, cfg.ep_mlp2,
-            axis_name=self.axis_name, dtype=self.dtype, name="mse_layer2",
+            axis_name=self.axis_name, dtype=self.dtype, remat=self.remat,
+            name="mse_layer2",
         )(pc1, embeddings, train, valid1)
         return prop
 

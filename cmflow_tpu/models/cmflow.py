@@ -39,6 +39,7 @@ class CMFlow(nn.Module):
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -54,7 +55,8 @@ class CMFlow(nn.Module):
     ) -> Tuple[Array, Array, Array, Array]:
         cfg = self.cfg
         prop = SceneFlowTrunk(cfg, axis_name=self.axis_name,
-                              dtype=self.dtype, name="trunk")(
+                              dtype=self.dtype, remat=self.remat,
+                              name="trunk")(
             pc1, pc2, feature1, feature2, train, valid1, valid2
         )
         final = concat_global(prop, masked_global_max(prop, valid1))

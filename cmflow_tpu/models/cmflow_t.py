@@ -43,6 +43,7 @@ class CMFlowT(nn.Module):
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -59,7 +60,8 @@ class CMFlowT(nn.Module):
     ) -> Tuple[Array, Array, Array, Array, Array]:
         cfg = self.cfg
         prop = SceneFlowTrunk(cfg, axis_name=self.axis_name,
-                              dtype=self.dtype, name="trunk")(
+                              dtype=self.dtype, remat=self.remat,
+                              name="trunk")(
             pc1, pc2, feature1, feature2, train, valid1, valid2
         )
 

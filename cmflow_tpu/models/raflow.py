@@ -35,6 +35,7 @@ class RaFlow(nn.Module):
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -51,7 +52,8 @@ class RaFlow(nn.Module):
         cfg = self.cfg
         # ROFE module (raflow.py:46-76): trunk + FlowDecoder head
         prop = SceneFlowTrunk(cfg, axis_name=self.axis_name,
-                              dtype=self.dtype, name="trunk")(
+                              dtype=self.dtype, remat=self.remat,
+                              name="trunk")(
             pc1, pc2, feature1, feature2, train, valid1, valid2
         )
         final = concat_global(prop, masked_global_max(prop, valid1))

@@ -188,6 +188,7 @@ class MultiScaleEncoder(nn.Module):
     mlp2: Sequence[int]
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -197,10 +198,18 @@ class MultiScaleEncoder(nn.Module):
         train: bool,
         valid: Optional[Array] = None,
     ) -> Array:
+        # remat: recompute each scale's [B,N,K,C] grouped chain in the
+        # backward pass instead of storing its residuals — trades one
+        # extra forward traversal for the HBM round-trips of the saved
+        # activations (they are the largest tensors in the train step).
+        # `train` (arg 3 counting self) must be static: it selects the
+        # BatchNorm branch.
+        cls = (nn.remat(PointLocalFeature, static_argnums=(3,))
+               if self.remat else PointLocalFeature)
         outs = []
         for i, (r, k) in enumerate(zip(self.radii, self.nsamples)):
             outs.append(
-                PointLocalFeature(
+                cls(
                     r, k, self.mlp, self.mlp2,
                     axis_name=self.axis_name, dtype=self.dtype,
                     name=f"scale_{i}",

@@ -37,6 +37,7 @@ class Config:
     platform: str = "auto"  # jax platform override: auto|cpu|tpu (the
     # session sitecustomize pins a platform; env vars alone cannot move it)
     compute_dtype: str = "float32"  # or "bfloat16" for the matmul-heavy path
+    remat: bool = False  # recompute grouped chains in backward (saves HBM)
     fused_inference: str = "auto"  # Pallas fused eval: auto|on|off
     nan_check: bool = False  # jax_debug_nans toggle (SURVEY.md §5 sanitizers)
     profile_dir: Optional[str] = None  # jax.profiler trace output

@@ -191,3 +191,40 @@ class TestComputeDtype:
         np.testing.assert_allclose(cls32, cls16, atol=2e-2)
         tr32, tr16 = np.asarray(o32[2]), np.asarray(o16[2])
         np.testing.assert_allclose(tr32, tr16, atol=2e-2)
+
+
+class TestRemat:
+    def test_remat_grads_and_stats_match(self, rng):
+        """remat=True (recompute grouped chains in backward) is bit-exact
+        vs the default: same loss, same grads, same BN stat updates."""
+        from types import SimpleNamespace
+
+        b, n = 2, 64
+        pc1 = jnp.array(rng.rand(b, n, 3).astype(np.float32) * 10)
+        pc2 = pc1 + 0.1
+        ft = jnp.array(rng.randn(b, n, 3).astype(np.float32))
+
+        def run(remat):
+            m = build_model("cmflow", SimpleNamespace(remat=remat))
+            v = m.init({"params": jax.random.PRNGKey(0)},
+                       pc1, pc2, ft, ft, None, True)
+
+            def loss(p):
+                (sf, cls, tr, _), mut = m.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]},
+                    pc1, pc2, ft, ft, None, True,
+                    mutable=["batch_stats"])
+                return jnp.sum(sf ** 2) + jnp.sum(cls) + jnp.sum(tr), mut
+
+            (l, mut), g = jax.value_and_grad(loss, has_aux=True)(v["params"])
+            return l, g, mut
+
+        l0, g0, s0 = run(False)
+        l1, g1, s1 = run(True)
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                         jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        for a, b_ in zip(jax.tree_util.tree_leaves(s0),
+                         jax.tree_util.tree_leaves(s1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
