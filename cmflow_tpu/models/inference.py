@@ -59,6 +59,34 @@ def _dot32(x, w, dtype):
     return out.reshape(*lead, w.shape[-1])
 
 
+def _fanin_dot(parts, w, dtype):
+    """``concat(parts, -1) @ w`` without materializing the concatenation.
+
+    ``parts`` are ``[B, N, Ci]`` tensors or ``[B, Ci]`` broadcast terms
+    (global features); ``w``'s rows are sliced per part.  The wide
+    concatenated activations of the serving path (``emb`` [B,N,1027],
+    ``f1``/``f2`` [B,N,512], ``final`` [B,N,512]) only ever feed matmuls,
+    so the partial-dot sum deletes their HBM round trips — and broadcast
+    parts collapse to O(B) instead of O(B·N) matmul work.  Exact up to
+    f32-accumulate reassociation across the row blocks."""
+    out = None
+    row = 0
+    for p in parts:
+        c = p.shape[-1]
+        ws = w[row:row + c]
+        row += c
+        term = _dot32(p, ws, dtype)
+        if p.ndim == 2:
+            term = term[:, None, :]
+        out = term if out is None else out + term
+    assert row == w.shape[0], (row, w.shape)
+    return out
+
+
+def _parts_width(parts):
+    return sum(p.shape[-1] for p in parts)
+
+
 def _ball_query_all(radii, nsamples, xyz, valid):
     """All scales' ball queries — ONE sort-free Pallas kernel on TPU
     (ops/neighbors.py shares the distance tile and prefix-count matmul
@@ -88,7 +116,9 @@ def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
     narrow = first_w0.shape[1] < 128
     if idx_list is None:
         idx_list = _ball_query_all(radii, nsamples, xyz, valid)
+    feat_parts = feats if isinstance(feats, (tuple, list)) else (feats,)
     if narrow:
+        assert len(feat_parts) == 1, "packed narrow path takes one tensor"
         from cmflow_tpu.ops.fused import (fused_multi_scale_encoder,
                                           mse_narrow_params_from_variables)
 
@@ -111,7 +141,7 @@ def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
         chain, feat_w, mlp2 = plf_params_from_variables(sp, ss)
         chain = _cast_chain(chain, dtype)
         idx = idx_list[i]
-        feat_tx = _dot32(feats, feat_w, dtype).astype(dtype)
+        feat_tx = _fanin_dot(feat_parts, feat_w, dtype).astype(dtype)
         h = fused_point_local_feature(feat_tx, idx, xyz, chain, interpret)
         for w, s, b in mlp2:
             h = jnp.maximum(_dot32(h, w, dtype) * s + b, 0.0)
@@ -119,20 +149,23 @@ def _mse_fused(params, stats, radii, nsamples, xyz, feats, valid, interpret,
     return jnp.concatenate(outs, axis=-1)
 
 
-def _cost_volume(p, xyz1, xyz2, f1, f2, valid1, valid2, k, interpret,
-                 dtype=jnp.float32):
-    """FeatureCorrelator eval forward via the fused Pallas kernels."""
+def _cost_volume(p, xyz1, xyz2, f1_parts, f2_parts, valid1, valid2, k,
+                 interpret, dtype=jnp.float32):
+    """FeatureCorrelator eval forward via the fused Pallas kernels.
+
+    ``f1_parts``/``f2_parts`` are concat-free fan-in part tuples (see
+    :func:`_fanin_dot`) — the [local, global-broadcast] features."""
     from cmflow_tpu.ops.fused import (cv_params_from_variables,
                                       fused_cost_volume)
 
-    d1, d2 = f1.shape[-1], f2.shape[-1]
+    d1, d2 = _parts_width(f1_parts), _parts_width(f2_parts)
     w0 = p["w0"]
 
     knn_idx = pointops.knn(k, xyz1, xyz2, valid2)
     knn1 = pointops.knn(k, xyz1, xyz1, valid1)
 
-    f1t = _dot32(f1, w0[:d1], dtype).astype(dtype)
-    f2t = _dot32(f2, w0[d1:d1 + d2], dtype).astype(dtype)
+    f1t = _fanin_dot(f1_parts, w0[:d1], dtype).astype(dtype)
+    f2t = _fanin_dot(f2_parts, w0[d1:d1 + d2], dtype).astype(dtype)
 
     dense, wn1, wn2 = cv_params_from_variables(p)
     # dense chain weights (wd, w1, w2 at even slots) in compute dtype;
@@ -143,27 +176,33 @@ def _cost_volume(p, xyz1, xyz2, f1, f2, valid1, valid2, k, interpret,
                              interpret, dense=dense, wn1=wn1, wn2=wn2)
 
 
-def _head(p, s, x, dtype=jnp.float32):
-    """FlowHead / MotionHead mlp chain + final Dense (eval BN affine)."""
+def _head(p, s, x_parts, dtype=jnp.float32):
+    """FlowHead / MotionHead mlp chain + final Dense (eval BN affine).
+
+    ``x_parts``: concat-free fan-in parts of the head input (per-point
+    propagation features + the broadcast global feature)."""
+    x = None
     for i in range(3):
         sc, bi = fold_bn_affine(p["mlp"][f"bn_{i}"], s["mlp"][f"bn_{i}"])
-        x = jnp.maximum(
-            _dot32(x, p["mlp"][f"dense_{i}"]["kernel"], dtype) * sc + bi,
-            0.0)
+        w = p["mlp"][f"dense_{i}"]["kernel"]
+        h = _fanin_dot(x_parts, w, dtype) if x is None else _dot32(x, w, dtype)
+        x = jnp.maximum(h * sc + bi, 0.0)
     return _dot32(x, p["out"]["kernel"], dtype)
 
 
-def _heads_joint(p_fp, s_fp, p_mp, s_mp, x, dtype=jnp.float32):
+def _heads_joint(p_fp, s_fp, p_mp, s_mp, x_parts, dtype=jnp.float32):
     """FlowHead + MotionHead evaluated as ONE chain of full-width matmuls.
 
-    Both heads consume the same ``final`` features; stacking their first-
-    layer kernels column-wise and the rest block-diagonally is exact
-    (channel blocks stay independent through relu/affine) and halves the
-    number of XLA kernel launches on the [B, N, 512] tensors.  Returns
+    Both heads consume the same ``final`` features (given as concat-free
+    fan-in parts, see :func:`_fanin_dot`); stacking their first-layer
+    kernels column-wise and the rest block-diagonally is exact (channel
+    blocks stay independent through relu/affine) and halves the number of
+    XLA kernel launches on the [B, N, 512] tensors.  Returns
     ``(flow [B,N,3], logit [B,N,1])``.
     """
     from jax.scipy.linalg import block_diag
 
+    x = None
     for i in range(3):
         wa = p_fp["mlp"][f"dense_{i}"]["kernel"]
         wb = p_mp["mlp"][f"dense_{i}"]["kernel"]
@@ -173,7 +212,8 @@ def _heads_joint(p_fp, s_fp, p_mp, s_mp, x, dtype=jnp.float32):
         sb, bb = fold_bn_affine(p_mp["mlp"][f"bn_{i}"], s_mp["mlp"][f"bn_{i}"])
         sc = jnp.concatenate([sa, sb])
         bi = jnp.concatenate([ba, bb])
-        x = jnp.maximum(_dot32(x, w, dtype) * sc + bi, 0.0)
+        h = _fanin_dot(x_parts, w, dtype) if x is None else _dot32(x, w, dtype)
+        x = jnp.maximum(h * sc + bi, 0.0)
     w_out = block_diag(p_fp["out"]["kernel"], p_mp["out"]["kernel"])
     out = _dot32(x, w_out, dtype)
     c_fp = p_fp["out"]["kernel"].shape[1]
@@ -192,27 +232,25 @@ def _trunk(params, stats, cfg, pc1, pc2, ft1, ft2, valid1, valid2,
     f2 = _mse_fused(mse_p, mse_s, cfg.sa_radii, cfg.sa_nsamples,
                     pc2, ft2, valid2, interpret, dtype)
 
-    b, n1, _ = pc1.shape
-    n2 = pc2.shape[1]
     g1 = masked_global_max(f1, valid1)
     g2 = masked_global_max(f2, valid2)
-    f1 = jnp.concatenate(
-        [f1, jnp.broadcast_to(g1[:, None], (b, n1, g1.shape[-1]))], axis=-1)
-    f2 = jnp.concatenate(
-        [f2, jnp.broadcast_to(g2[:, None], (b, n2, g2.shape[-1]))], axis=-1)
 
     # fusing the encoder outputs into the cost-volume stage trips a TPU
     # compiler bug (SpatialMajorConvolution fusion cost model SIGABRT on
     # bf16 [64,256,256]-class operands — see _dot32); the barrier costs
-    # one HBM round-trip of [B,N,512] and keeps the stages separate
-    f1, f2 = lax.optimization_barrier((f1, f2))
+    # one HBM round-trip of [B,N,256] per cloud and keeps the stages
+    # separate.  The global features ride along as broadcast fan-in parts
+    # (never materialized to [B,N,C], see _fanin_dot).
+    f1, f2, g1, g2 = lax.optimization_barrier((f1, f2, g1, g2))
 
-    cor = _cost_volume(params["fc_layer"], pc1, pc2, f1, f2,
+    cor = _cost_volume(params["fc_layer"], pc1, pc2, (f1, g1), (f2, g2),
                        valid1, valid2, cfg.fc_nsample, interpret, dtype)
 
-    emb = jnp.concatenate([ft1, f1, cor], axis=-1)
+    # emb = concat([ft1, f1, g1_bcast, cor]) in the flax model — fed to
+    # the per-scale feat_tx dots as fan-in parts instead
     return _mse_fused(params["mse_layer2"], stats["mse_layer2"],
-                      cfg.sa_radii, cfg.sa_nsamples, pc1, emb, valid1,
+                      cfg.sa_radii, cfg.sa_nsamples, pc1,
+                      (ft1, f1, g1, cor), valid1,
                       interpret, dtype, idx_list=idx1_list)
 
 
@@ -237,13 +275,9 @@ def cmflow_infer(
     prop = _trunk(params["trunk"], stats["trunk"], cfg,
                   pc1, pc2, ft1, ft2, valid1, valid2, interpret,
                   compute_dtype)
-    b, n, _ = pc1.shape
     g = masked_global_max(prop, valid1)
-    final = jnp.concatenate(
-        [prop, jnp.broadcast_to(g[:, None], (b, n, g.shape[-1]))], axis=-1)
-
     output, logit = _heads_joint(params["fp"], stats["fp"],
-                                 params["mp"], stats["mp"], final,
+                                 params["mp"], stats["mp"], (prop, g),
                                  compute_dtype)
     stat_cls = jax.nn.sigmoid(logit)[..., 0]
 
@@ -421,14 +455,9 @@ def cmflow_t_infer(
     pooled = masked_global_max(prop, valid1)
     gfeat_new = _gru_cell(params["gru"], gfeat, pooled)
 
-    b, n, _ = pc1.shape
-    final = jnp.concatenate(
-        [prop, jnp.broadcast_to(gfeat_new[:, None],
-                                (b, n, gfeat_new.shape[-1]))], axis=-1)
-
     output, logit = _heads_joint(params["fp"], stats["fp"],
-                                 params["mp"], stats["mp"], final,
-                                 compute_dtype)
+                                 params["mp"], stats["mp"],
+                                 (prop, gfeat_new), compute_dtype)
     stat_cls = jax.nn.sigmoid(logit)[..., 0]
 
     mask = stat_cls > stat_thres
@@ -474,9 +503,7 @@ def raflow_infer(
                   compute_dtype)
     b, n, _ = pc1.shape
     g = masked_global_max(prop, valid1)
-    final = jnp.concatenate(
-        [prop, jnp.broadcast_to(g[:, None], (b, n, g.shape[-1]))], axis=-1)
-    output = _head(params["fp"], stats["fp"], final, compute_dtype)
+    output = _head(params["fp"], stats["fp"], (prop, g), compute_dtype)
 
     pc1_warp = pc1 + output
     if valid1 is not None:

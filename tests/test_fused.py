@@ -365,10 +365,25 @@ class TestHeadsJoint:
         p_mp, s_mp = make_head(1, 22)
         x = jnp.asarray(rng.randn(b, n, width).astype(np.float32))
 
-        flow_j, logit_j = _heads_joint(p_fp, s_fp, p_mp, s_mp, x)
-        flow = _head(p_fp, s_fp, x)
-        logit = _head(p_mp, s_mp, x)
+        flow_j, logit_j = _heads_joint(p_fp, s_fp, p_mp, s_mp, (x,))
+        flow = _head(p_fp, s_fp, (x,))
+        logit = _head(p_mp, s_mp, (x,))
         np.testing.assert_allclose(np.asarray(flow_j), np.asarray(flow),
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(logit_j), np.asarray(logit),
+                                   rtol=2e-5, atol=2e-5)
+
+        # concat-free fan-in: [B,N,Ca] local + [B,Cb] broadcast parts ==
+        # the materialized concat
+        ca = width // 2
+        g = jnp.asarray(rng.randn(b, width - ca).astype(np.float32))
+        x_cat = jnp.concatenate(
+            [x[..., :ca], jnp.broadcast_to(g[:, None], (b, n, width - ca))],
+            axis=-1)
+        flow_p, logit_p = _heads_joint(p_fp, s_fp, p_mp, s_mp,
+                                       (x[..., :ca], g))
+        flow_c, logit_c = _heads_joint(p_fp, s_fp, p_mp, s_mp, (x_cat,))
+        np.testing.assert_allclose(np.asarray(flow_p), np.asarray(flow_c),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(logit_p), np.asarray(logit_c),
                                    rtol=2e-5, atol=2e-5)
