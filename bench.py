@@ -379,6 +379,15 @@ def main():
     except Exception as e:
         log(f"bf16 train bench failed: {e}")
         train_bf16_fps = None
+    # padded real-VoD-frame shape (frames pad up to ~512); opt-out via
+    # BENCH_N512=0 — one extra ~8 s serving compile
+    n512_fps = None
+    if os.environ.get("BENCH_N512", "1") != "0" and N_POINTS != 512:
+        try:
+            n512_fps, _, _ = bench_tpu_eval(max(BATCH // 2, 1), 512,
+                                            dtype_name="bfloat16")
+        except Exception as e:
+            log(f"N=512 eval bench failed: {e}")
     try:
         cpu_fps = bench_torch_cpu(CPU_BATCH, N_POINTS)
     except Exception as e:
@@ -409,6 +418,8 @@ def main():
             "train_bf16_frames_per_sec":
                 round(train_bf16_fps, 2) if train_bf16_fps else None,
             "torch_cpu_frames_per_sec": round(cpu_fps, 2) if cpu_fps else None,
+            "n512_bf16_eval_frames_per_sec":
+                round(n512_fps, 2) if n512_fps else None,
             "batch": BATCH,
             "n_points": N_POINTS,
         },
