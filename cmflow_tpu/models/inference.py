@@ -420,13 +420,22 @@ def cmflow_t_infer_seq(
 
 def _gru_cell(p, h, x):
     """flax ``nn.GRUCell`` forward from raw params (models/cmflow_t.py
-    GRU; gate order r, z, n with the candidate's hidden bias separate)."""
-    r = jax.nn.sigmoid(x @ p["ir"]["kernel"] + p["ir"]["bias"]
-                       + h @ p["hr"]["kernel"])
-    z = jax.nn.sigmoid(x @ p["iz"]["kernel"] + p["iz"]["bias"]
-                       + h @ p["hz"]["kernel"])
-    n = jnp.tanh(x @ p["in"]["kernel"] + p["in"]["bias"]
-                 + r * (h @ p["hn"]["kernel"] + p["hn"]["bias"]))
+    GRU; gate order r, z, n with the candidate's hidden bias separate).
+
+    The six per-gate [B,C]@[C,C] dots run as TWO [B,C]@[C,3C] dots
+    (column-stacked gate kernels — exact; gates stay independent)."""
+    c = h.shape[-1]
+    wi = jnp.concatenate([p["ir"]["kernel"], p["iz"]["kernel"],
+                          p["in"]["kernel"]], axis=1)
+    bi = jnp.concatenate([p["ir"]["bias"], p["iz"]["bias"],
+                          p["in"]["bias"]])
+    wh = jnp.concatenate([p["hr"]["kernel"], p["hz"]["kernel"],
+                          p["hn"]["kernel"]], axis=1)
+    xi = x @ wi + bi
+    hh = h @ wh
+    r = jax.nn.sigmoid(xi[:, :c] + hh[:, :c])
+    z = jax.nn.sigmoid(xi[:, c:2 * c] + hh[:, c:2 * c])
+    n = jnp.tanh(xi[:, 2 * c:] + r * (hh[:, 2 * c:] + p["hn"]["bias"]))
     return (1.0 - z) * n + z * h
 
 
