@@ -86,6 +86,24 @@ class TestFusedInference:
                 np.asarray(a, np.float32), np.asarray(c, np.float32),
                 atol=1e-4)
 
+    def test_cmflow_infer_parity_multitile(self, rng):
+        """n=256 exercises the kernels' row-tiled path (tile=128, two
+        tiles per cloud) in interpret mode — the other tests stay at
+        n=128 where a single tile covers the cloud."""
+        b, n = 1, 256
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        model = build_model("cmflow")
+        v = _with_real_stats(model, (pc1, pc2, ft1, ft2, None))
+        ref = model.apply(v, pc1, pc2, ft1, ft2, None, False)
+        got = cmflow_infer(v, pc1, pc2, ft1, ft2, interpret=True)
+        for a, c in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                atol=1e-4)
+
     def test_cmflow_infer_with_padding_mask(self, rng):
         b, n = 2, 128
         pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
