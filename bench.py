@@ -152,7 +152,7 @@ def bench_tpu_eval(b, n, fused=None, dtype_name="float32"):
     return fps, ms, spread
 
 
-def bench_tpu_train(b, n, dtype_name="float32"):
+def bench_tpu_train(b, n, dtype_name="float32", remat=False):
     import types
 
     import jax
@@ -166,7 +166,7 @@ def bench_tpu_train(b, n, dtype_name="float32"):
 
     model = build_model(
         "cmflow", types.SimpleNamespace(compute_dtype=dtype_name,
-                                        stat_thres=0.5))
+                                        stat_thres=0.5, remat=remat))
     pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
     rng = np.random.RandomState(1)
     batch = {
@@ -200,7 +200,8 @@ def bench_tpu_train(b, n, dtype_name="float32"):
     ms = float(np.median(ms_passes))
     spread = (max(ms_passes) - min(ms_passes)) / ms
     fps = b / ms * 1e3
-    log(f"tpu train ({dtype_name}): B={b} N={n} {ms:.2f} ms/it median of "
+    log(f"tpu train ({dtype_name}{', remat' if remat else ''}): "
+        f"B={b} N={n} {ms:.2f} ms/it median of "
         f"{BENCH_PASSES} (spread {spread * 100:.0f}%) -> {fps:.1f} frames/s")
     return fps
 
