@@ -1,9 +1,11 @@
 #!/bin/bash
 # Synthetic convergence gate (VERDICT r1 item 9): train cmflow for 24
 # epochs on a 320-sample synthetic VoD-layout set and watch val RNE fall.
-# Reference recipe: main.py:104-170.  Recorded runs (v5e, 2026-08-17):
-#   f32  val RNE 0.288 -> 0.100  docs/convergence_r2.jsonl
-#   bf16 val RNE       -> docs/convergence_r3_bf16.jsonl (DTYPE=bfloat16)
+# Reference recipe: main.py:104-170.  Recorded runs:
+#   f32  (v5e, 2026-08-17) val RNE 0.288 -> 0.100  docs/convergence_r2.jsonl
+#   bf16 (CPU,  2026-08-18) val RNE 0.275 -> 0.105  docs/convergence_r3_bf16.jsonl
+#        (DTYPE=bfloat16 PLATFORM=cpu — run during the tunnel outage; the
+#        bf16 matmul semantics being gated are platform-independent)
 # Env knobs: DS (dataset dir), EXP (exp name), DTYPE (train compute dtype),
 # PLATFORM (auto|cpu|tpu — cpu keeps the gate runnable when the TPU tunnel
 # is down), EPOCHS.
