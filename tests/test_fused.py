@@ -405,3 +405,45 @@ class TestHeadsJoint:
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(logit_p), np.asarray(logit_c),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestShardedServing:
+    def test_8way_fused_engine_matches_single(self, rng):
+        """The Pallas serving engine under shard_map on the fake 8-device
+        mesh (params replicated, batch sharded) == the unsharded engine —
+        the multi-chip serving configuration (SURVEY §2.3: DP over ICI)."""
+        from jax.sharding import PartitionSpec as P
+
+        from cmflow_tpu.parallel import mesh as meshlib
+
+        b, n = 8, 128
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        model = build_model("cmflow")
+        v = _with_real_stats(model, (pc1, pc2, ft1, ft2, None))
+
+        ref = cmflow_infer(v, pc1, pc2, ft1, ft2, interpret=True)
+
+        mesh = meshlib.make_mesh()
+        d = P(meshlib.DATA_AXIS)
+
+        def fwd(v_, a, b_, c, e):
+            return cmflow_infer(v_, a, b_, c, e, interpret=True)
+
+        # check_vma=False: pallas_call's out_shape carries no varying-
+        # mesh-axes annotation, so shard_map's vma checker must be off
+        # (the documented escape hatch) — real multi-chip serving needs
+        # the same flag
+        fn = jax.jit(jax.shard_map(
+            fwd, mesh=mesh,
+            in_specs=(P(), d, d, d, d),
+            out_specs=d,
+            check_vma=False,
+        ))
+        got = fn(v, pc1, pc2, ft1, ft2)
+        for a, c in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                atol=1e-5)
