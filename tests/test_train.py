@@ -242,3 +242,41 @@ class TestDataParallel:
         for a, c in zip(want, got):
             np.testing.assert_allclose(a, np.asarray(c, np.float32),
                                        atol=1e-5)
+
+
+class TestRematDataParallel:
+    def test_8way_remat_matches_plain(self):
+        """remat inside the shard_map train step (nn.remat wrapping the
+        cross-replica-BN grouped chains) reproduces remat=False on the
+        same mesh.  Not bit-exact here (unlike the single-device
+        TestRemat): the checkpoint boundary changes XLA fusion, which
+        reassociates the local reductions feeding the cross-replica psum
+        (~1e-6 relative noise)."""
+        from types import SimpleNamespace
+
+        batch = synth_batch(7, b=8, n=48)
+        mesh = meshlib.make_mesh()
+        sharded = meshlib.shard_batch(mesh, batch)
+
+        def run(remat):
+            model = build_model(
+                "cmflow", SimpleNamespace(remat=remat),
+                axis_name=meshlib.DATA_AXIS)
+            state = init_state(model, "cmflow", batch)
+            state = meshlib.replicate(mesh, state)
+            step = steplib.make_train_step(
+                "cmflow", model, VOD_CAMERA_PROJECTION, VOD_T_CAMERA_RADAR,
+                mesh=mesh)
+            state, items = step(state, sharded)
+            return float(items["Loss"]), state
+
+        l0, s0 = run(False)
+        l1, s1 = run(True)
+        np.testing.assert_allclose(l0, l1, rtol=1e-5)
+        # params agree modulo Adam's rsqrt(v)+eps amplification of the
+        # reduction-order noise (same tolerance rationale as
+        # test_8way_matches_single_device)
+        for a, b_ in zip(jax.tree_util.tree_leaves(s0.params),
+                         jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-3)
