@@ -133,7 +133,7 @@ def bench_tpu_eval(b, n, fused=None, dtype_name="float32"):
     float(f[0, 0, 0])  # compile + full sync
 
     ms_passes = []
-    for _ in range(BENCH_PASSES):
+    for p in range(BENCH_PASSES + 1):  # pass 0 is a discarded warmup
         rtt = _rtt_seconds()
         f = ft1
         t0 = time.perf_counter()
@@ -141,7 +141,8 @@ def bench_tpu_eval(b, n, fused=None, dtype_name="float32"):
             f = fwd_chain(variables, pc1, pc2, f, ft2)
         float(f[0, 0, 0])
         dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        ms_passes.append(dt / TPU_ITERS * 1e3)
+        if p > 0:  # the first timed pass still carries warmup/tunnel
+            ms_passes.append(dt / TPU_ITERS * 1e3)  # contamination; drop it
     ms = float(np.median(ms_passes))
     spread = (max(ms_passes) - min(ms_passes)) / ms
     fps = b / ms * 1e3
@@ -189,20 +190,177 @@ def bench_tpu_train(b, n, dtype_name="float32", remat=False):
     float(items["Loss"])  # compile + full sync
     iters = max(TPU_ITERS // 2, 5)
     ms_passes = []
-    for _ in range(BENCH_PASSES):
+    for p in range(BENCH_PASSES + 1):  # pass 0 is a discarded warmup
         rtt = _rtt_seconds()
         t0 = time.perf_counter()
         for _ in range(iters):
             state, items = step(state, batch)
         float(items["Loss"])  # sync through the chained state
         dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        ms_passes.append(dt / iters * 1e3)
+        if p > 0:
+            ms_passes.append(dt / iters * 1e3)
     ms = float(np.median(ms_passes))
     spread = (max(ms_passes) - min(ms_passes)) / ms
     fps = b / ms * 1e3
     log(f"tpu train ({dtype_name}{', remat' if remat else ''}): "
         f"B={b} N={n} {ms:.2f} ms/it median of "
         f"{BENCH_PASSES} (spread {spread * 100:.0f}%) -> {fps:.1f} frames/s")
+    return fps
+
+
+def _timed_chain(run_iter, sync, iters, label, frames_per_it):
+    """Median-of-BENCH_PASSES timing with one discarded warmup pass.
+
+    ``run_iter(carry) -> carry`` chains a data dependency; ``sync(carry)``
+    fetches one scalar (the only true sync on tunneled platforms)."""
+    ms_passes = []
+    carry = None
+    for p in range(BENCH_PASSES + 1):
+        rtt = _rtt_seconds()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = run_iter(carry)
+        sync(carry)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        if p > 0:
+            ms_passes.append(dt / iters * 1e3)
+    ms = float(np.median(ms_passes))
+    spread = (max(ms_passes) - min(ms_passes)) / ms
+    fps = frames_per_it / ms * 1e3
+    log(f"{label}: {ms:.2f} ms/it median of {BENCH_PASSES} "
+        f"(spread {spread * 100:.0f}%) -> {fps:.1f} frames/s")
+    return fps, ms, spread
+
+
+def bench_tpu_raflow_eval(b, n, dtype_name="bfloat16"):
+    """RaFlow fused eval throughput (the reference's own baseline artifact
+    is a RaFlow eval log, checkpoints/raflow_cvpr/run.log)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmflow_tpu.models import build_model
+    from cmflow_tpu.models.inference import raflow_infer
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = build_model("raflow")
+    pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
+    interval = jnp.full((b,), 0.1, jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           pc1, pc2, ft1, ft2, interval, False)
+
+    @jax.jit
+    def fwd_chain(v, a, c, d, e, iv):
+        _, sf_agg, _, _ = raflow_infer(v, a, c, d, e, iv,
+                                       rigid_thres=model.rigid_thres,
+                                       rigid_pcs=model.rigid_pcs,
+                                       compute_dtype=dtype)
+        return sf_agg * 1e-6 + d
+
+    f = fwd_chain(variables, pc1, pc2, ft1, ft2, interval)
+    float(f[0, 0, 0])  # compile + sync
+
+    def run(carry):
+        return fwd_chain(variables, pc1, pc2,
+                         ft1 if carry is None else carry, ft2, interval)
+
+    fps, _, _ = _timed_chain(run, lambda c: float(c[0, 0, 0]), TPU_ITERS,
+                             f"tpu raflow eval ({dtype_name}) B={b} N={n}",
+                             b)
+    return fps
+
+
+def bench_tpu_cmflow_t_eval(b, n, dtype_name="bfloat16"):
+    """CMFlow_T fused per-frame eval with the GRU carry chained through
+    iterations (the natural data dependency; clip_util.py:226-233)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmflow_tpu.models import build_model
+    from cmflow_tpu.models.inference import cmflow_t_infer
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = build_model("cmflow_t")
+    pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
+    gfeat0 = jnp.zeros((b, model.cfg.prop_width), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           pc1, pc2, ft1, ft2, None, False, gfeat0)
+
+    @jax.jit
+    def fwd_chain(v, a, c, d, e, g):
+        out = cmflow_t_infer(v, a, c, d, e, g,
+                             stat_thres=model.stat_thres,
+                             compute_dtype=dtype)
+        return out[4]  # the new gfeat carry
+
+    g = fwd_chain(variables, pc1, pc2, ft1, ft2, gfeat0)
+    float(g[0, 0])
+
+    def run(carry):
+        return fwd_chain(variables, pc1, pc2, ft1, ft2,
+                         gfeat0 if carry is None else carry)
+
+    fps, _, _ = _timed_chain(run, lambda c: float(c[0, 0]), TPU_ITERS,
+                             f"tpu cmflow_t eval ({dtype_name}) B={b} N={n}",
+                             b)
+    return fps
+
+
+def bench_tpu_cmflow_t_train(b, n, t=4, dtype_name="float32"):
+    """CMFlow_T truncated-BPTT clip train step (scan over T frames with a
+    per-frame optimizer update, clip_util.py:34-66)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmflow_tpu.data.vod import (VOD_CAMERA_PROJECTION,
+                                     VOD_T_CAMERA_RADAR)
+    from cmflow_tpu.models import build_model
+    from cmflow_tpu.train import steps as steplib
+    from cmflow_tpu.train.state import create_train_state, make_optimizer
+
+    model = build_model(
+        "cmflow_t", types.SimpleNamespace(compute_dtype=dtype_name,
+                                          stat_thres=0.5))
+    pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
+    rng = np.random.RandomState(1)
+
+    def clipify(x):
+        return jnp.broadcast_to(jnp.asarray(x)[:, None],
+                                (b, t) + x.shape[1:])
+
+    clip = {
+        "pc1": clipify(pc1), "pc2": clipify(pc2),
+        "ft1": clipify(ft1), "ft2": clipify(ft2),
+        "trans": clipify(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))),
+        "labels": clipify(rng.randn(b, n, 3).astype(np.float32) * 0.1),
+        "mask": clipify((rng.rand(b, n) > 0.3).astype(np.float32)),
+        "interval": jnp.full((b, t), 0.1, jnp.float32),
+        "radar_u": clipify(rng.rand(b, n).astype(np.float32) * 1900),
+        "radar_v": clipify(rng.rand(b, n).astype(np.float32) * 1200),
+        "opt_flow": clipify(rng.randn(b, n, 2).astype(np.float32)),
+    }
+    gfeat0 = jnp.zeros((b, model.cfg.prop_width), jnp.float32)
+    mask0 = jnp.asarray((rng.rand(b, n) > 0.3).astype(np.float32))
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (pc1, pc2, ft1, ft2, mask0, True, gfeat0), make_optimizer())
+    step = steplib.make_train_step_seq(model, VOD_CAMERA_PROJECTION,
+                                       VOD_T_CAMERA_RADAR)
+    state, items = step(state, clip)
+    float(items["Loss"])
+    iters = max(TPU_ITERS // (2 * t), 3)
+
+    st = {"s": state}
+
+    def run(carry):
+        st["s"], items = step(st["s"], clip)
+        return items
+
+    fps, _, _ = _timed_chain(
+        run, lambda it: float(it["Loss"]), iters,
+        f"tpu cmflow_t clip-train ({dtype_name}) B={b} T={t} N={n}",
+        b * t)
     return fps
 
 
@@ -381,14 +539,35 @@ def main():
         log(f"bf16 train bench failed: {e}")
         train_bf16_fps = None
     # padded real-VoD-frame shape (frames pad up to ~512); opt-out via
-    # BENCH_N512=0 — one extra ~8 s serving compile
-    n512_fps = None
+    # BENCH_N512=0 — two extra ~8 s serving compiles
+    n512_fps = n512_f32_fps = None
     if os.environ.get("BENCH_N512", "1") != "0" and N_POINTS != 512:
         try:
             n512_fps, _, _ = bench_tpu_eval(max(BATCH // 2, 1), 512,
                                             dtype_name="bfloat16")
         except Exception as e:
             log(f"N=512 eval bench failed: {e}")
+        try:
+            n512_f32_fps, _, _ = bench_tpu_eval(max(BATCH // 2, 1), 512)
+        except Exception as e:
+            log(f"N=512 f32 eval bench failed: {e}")
+    # the other two model families (VERDICT r2 #4); opt-out via
+    # BENCH_FAMILIES=0
+    raflow_fps = cmt_eval_fps = cmt_train_fps = None
+    if os.environ.get("BENCH_FAMILIES", "1") != "0":
+        try:
+            raflow_fps = bench_tpu_raflow_eval(BATCH, N_POINTS)
+        except Exception as e:
+            log(f"raflow eval bench failed: {e}")
+        try:
+            cmt_eval_fps = bench_tpu_cmflow_t_eval(BATCH, N_POINTS)
+        except Exception as e:
+            log(f"cmflow_t eval bench failed: {e}")
+        try:
+            cmt_train_fps = bench_tpu_cmflow_t_train(
+                max(BATCH // 4, 1), N_POINTS)
+        except Exception as e:
+            log(f"cmflow_t train bench failed: {e}")
     try:
         cpu_fps = bench_torch_cpu(CPU_BATCH, N_POINTS)
     except Exception as e:
@@ -421,6 +600,14 @@ def main():
             "torch_cpu_frames_per_sec": round(cpu_fps, 2) if cpu_fps else None,
             "n512_bf16_eval_frames_per_sec":
                 round(n512_fps, 2) if n512_fps else None,
+            "n512_f32_eval_frames_per_sec":
+                round(n512_f32_fps, 2) if n512_f32_fps else None,
+            "raflow_eval_fps":
+                round(raflow_fps, 2) if raflow_fps else None,
+            "cmflow_t_eval_fps":
+                round(cmt_eval_fps, 2) if cmt_eval_fps else None,
+            "cmflow_t_train_fps":
+                round(cmt_train_fps, 2) if cmt_train_fps else None,
             "batch": BATCH,
             "n_points": N_POINTS,
         },

@@ -31,6 +31,7 @@ class BatchLoader:
         drop_last: bool = False,
         pad_bucket: Optional[int] = None,
         pad_multiple: int = 128,
+        pad_buckets: Optional[List[int]] = None,
         num_workers: int = 8,
         prefetch: int = 2,
         seed: int = 1234,
@@ -43,6 +44,12 @@ class BatchLoader:
         self.drop_last = drop_last
         self.pad_bucket = pad_bucket
         self.pad_multiple = pad_multiple
+        # explicit closed bucket set (ascending): every batch pads to one
+        # of these N values and NOTHING else — on this runtime an
+        # unexpected shape is a fresh remote compile that can stall an
+        # eval epoch for many minutes, so a frame larger than the top
+        # bucket fails loudly instead
+        self.pad_buckets = sorted(pad_buckets) if pad_buckets else None
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.pad_batch = pad_batch
@@ -72,7 +79,18 @@ class BatchLoader:
 
     def _make_batch(self, indices: List[int]) -> Sample:
         samples = [self.dataset[i] for i in indices]
-        if self.pad_bucket is not None:
+        if self.pad_buckets is not None:
+            n_max = max(
+                max(s["pc1"].shape[-2], s["pc2"].shape[-2]) for s in samples
+            )
+            fits = [b for b in self.pad_buckets if b >= n_max]
+            if not fits:
+                raise ValueError(
+                    f"batch needs N={n_max} points but the pinned eval "
+                    f"bucket set is {self.pad_buckets}; raise "
+                    f"eval_buckets (every bucket is one compile)")
+            samples = [pad_to(s, fits[0]) for s in samples]
+        elif self.pad_bucket is not None:
             # shared static bucket across the batch: the max real count
             # rounded up, so XLA sees few distinct shapes
             n_max = max(

@@ -212,6 +212,30 @@ def weighted_kabsch(
             raise ValueError(f"unknown reflect mode {reflect!r}")
 
         r = v @ ut
+        if reflect in ("row", "none"):
+            # Straight-through accuracy fix: XLA's TPU SVD solves these
+            # 3x3s to only ~4e-3 rotation error at cond(H)~90 (measured,
+            # scripts/diag_kabsch_tpu.py — the f64-truth delta reached
+            # 8.7e-2 in the assembled transform via the ~21 m centroid
+            # lever arm), while the Newton polar iteration is accurate to
+            # ~2e-5 on every backend.  Take the VALUE from polar3 and keep
+            # the gradient flowing through the regularized SVD JVP — both
+            # express the same function R(H), so this is a numerical
+            # correction, not a semantic change.  (reflect="col" composes
+            # differently with the polar factor; it keeps the raw SVD.)
+            rp = jnp.swapaxes(polar3(h), -1, -2)
+            hflip = jnp.where(jnp.linalg.det(h) < 0, -1.0, 1.0)
+            if reflect == "row":
+                rp = rp.at[:, 2, :].multiply(
+                    hflip.astype(a.dtype)[:, None])
+            # on (near-)singular H the Newton iterate is finite garbage
+            # (e.g. all-invalid padding lanes, H = 0) — keep the SVD value
+            # unless the polar result is actually orthogonal
+            orth_err = jnp.max(jnp.abs(
+                jnp.swapaxes(rp, -1, -2) @ rp - jnp.eye(3, dtype=rp.dtype)
+            ), axis=(-2, -1))
+            rv = jnp.where((orth_err < 1e-2)[:, None, None], rp, r)
+            r = r + jax.lax.stop_gradient(rv - r)
     else:
         raise ValueError(f"unknown solver {solver!r}")
     t = centroid_b - jnp.einsum("bij,bj->bi", r, centroid_a)

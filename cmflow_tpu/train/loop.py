@@ -238,7 +238,7 @@ def _reset_lanes(gfeat, reset):
     return jnp.where(reset[:, None], 0.0, gfeat)
 
 
-def make_experiment_eval_step(cfg: Config, model):
+def make_experiment_eval_step(cfg: Config, model, mesh=None):
     """Build the jitted eval step for an experiment ONCE.
 
     ``jax.jit`` caches on function identity: rebuilding the closure every
@@ -246,9 +246,56 @@ def make_experiment_eval_step(cfg: Config, model):
     (minutes per epoch on a remote-compile runtime)."""
     dtype = (jnp.bfloat16 if cfg.eval_compute_dtype == "bfloat16"
              else jnp.float32)
-    return steplib.make_eval_step(cfg.model, model,
+    return steplib.make_eval_step(cfg.model, model, mesh=mesh,
                                   fused=cfg.fused_inference,
                                   compute_dtype=dtype)
+
+
+def _pinned_buckets(cfg: Config):
+    """The closed eval shape set: cfg.eval_buckets filtered to
+    >= num_points, with num_points itself as the floor bucket.  None
+    disables pinning (falls back to open-ended pad_multiple rounding)."""
+    bs = [int(b) for b in (getattr(cfg, "eval_buckets", None) or ())
+          if int(b) >= int(cfg.num_points)]
+    if not bs:
+        return None
+    return sorted(set(bs + [int(cfg.num_points)]))
+
+
+def _prewarm_eval_buckets(cfg, model, state, eval_step, buckets,
+                          batch_size, temporal, has_reset, dataset, textio,
+                          mesh=None):
+    """Compile every pinned eval shape up front (one dummy batch per
+    bucket) so no mid-epoch batch triggers a fresh remote compile — on
+    this runtime an unexpected shape stalls an eval epoch for minutes.
+    Compile cost is reported per bucket, separately from eval time."""
+    from cmflow_tpu.data.schema import FIELDS_N1, FIELDS_N2, collate, pad_to
+
+    s0 = dataset[0]
+    times = []
+    for n in buckets:
+        trimmed = {
+            k: (np.asarray(v)[:n] if k in FIELDS_N1 + FIELDS_N2 else v)
+            for k, v in s0.items()
+        }
+        batch = collate([pad_to(trimmed, n)] * batch_size)
+        if has_reset:  # plan-mode batches carry per-lane reset flags;
+            batch["reset"] = np.zeros(batch_size, bool)  # match structure
+        dev = _to_device_packed(
+            {k: v for k, v in batch.items()
+             if k != "lane_valid" and not k.startswith("_")}, mesh)
+        t0 = time.perf_counter()
+        if temporal:
+            g = jnp.zeros((batch_size, model.cfg.prop_width))
+            outs = eval_step(state, dev, g)
+        else:
+            outs = eval_step(state, dev)
+        np.asarray(outs[0][0, 0])  # value fetch = the only true sync
+        times.append((n, time.perf_counter() - t0))
+    textio.cprint(
+        "eval prewarm (compile per bucket): "
+        + "  ".join(f"N={n}: {t:.1f}s" for n, t in times))
+    return times
 
 
 def evaluate_frames(
@@ -256,6 +303,8 @@ def evaluate_frames(
     save_res_dir: Optional[str] = None,
     vis_dir: Optional[str] = None,
     eval_step=None,
+    prewarm: Optional[bool] = None,
+    mesh=None,
 ) -> Tuple[Dict, Dict, Dict]:
     """Frame-pair evaluation (eval_one_epoch, main_util.py:93-206), with
     static padded shapes and per-frame metric accumulation.
@@ -270,7 +319,7 @@ def evaluate_frames(
     """
     temporal = cfg.model == "cmflow_t"
     if eval_step is None:
-        eval_step = make_experiment_eval_step(cfg, model)
+        eval_step = make_experiment_eval_step(cfg, model, mesh=mesh)
     # the temporal model is frame-sequential per clip (GRU carry), but
     # clips are independent: with >1 clip it runs L clips as lockstep
     # batch lanes (build_clip_plan) instead of the reference's B=1 walk.
@@ -285,12 +334,27 @@ def evaluate_frames(
         batch_size = lanes
     else:
         batch_size = 1 if temporal else max(1, int(cfg.eval_batch_size))
+    if mesh is not None and batch_size % mesh.devices.size:
+        raise ValueError(
+            f"eval_batch_size {batch_size} not divisible by the "
+            f"{mesh.devices.size}-device data mesh")
+    buckets = _pinned_buckets(cfg)
     loader = BatchLoader(
         dataset, batch_size=batch_size, shuffle=False, drop_last=False,
         pad_bucket=cfg.num_points, pad_multiple=cfg.eval_pad_multiple,
+        pad_buckets=buckets,
         num_workers=cfg.num_workers, pad_batch=not temporal,
         plan=lane_plan,
     )
+    if prewarm is None:
+        # default: only where a surprise compile actually hurts (the
+        # remote-compile TPU runtime) and only if >1 shape is possible
+        prewarm = (buckets is not None and len(buckets) > 1
+                   and jax.default_backend() == "tpu")
+    if prewarm and buckets:
+        _prewarm_eval_buckets(cfg, model, state, eval_step, buckets,
+                              batch_size, temporal, lane_plan is not None,
+                              dataset, textio, mesh=mesh)
 
     sf_metric = {k: 0.0 for k in
                  ("rne", "50-50 rne", "mov_rne", "stat_rne", "sas", "ras",
@@ -385,7 +449,7 @@ def evaluate_frames(
         t_load += t_now - t_mark
         dev = _to_device_packed(
             {k: v for k, v in batch.items()
-             if k != "lane_valid" and not k.startswith("_")}, None)
+             if k != "lane_valid" and not k.startswith("_")}, mesh)
         t_h2d += time.perf_counter() - t_now
         t_now = time.perf_counter()
         if temporal:
@@ -483,7 +547,12 @@ def train_experiment(cfg: Config, textio=None) -> Dict:
     best_rne = np.inf
     best_path = os.path.join(exp_dir, "models", "best")
     item_keys = LOSS_ITEMS[cfg.model]
-    eval_step = make_experiment_eval_step(cfg, model)
+    # validation rides the same data mesh when the eval batch divides it
+    # (temporal eval stays single-device: its lane count is data-driven)
+    eval_mesh = (mesh if mesh is not None and cfg.model != "cmflow_t"
+                 and int(cfg.eval_batch_size) % mesh.devices.size == 0
+                 else None)
+    eval_step = make_experiment_eval_step(cfg, model, mesh=eval_mesh)
 
     for epoch in range(cfg.epochs):
         textio.cprint(f"==== epoch {epoch} ====")
@@ -518,7 +587,7 @@ def train_experiment(cfg: Config, textio=None) -> Dict:
         metrics_out.write({"epoch": epoch, "phase": "train", **means})
 
         sf, seg, pose = evaluate_frames(cfg, model, state, val_ds, textio,
-                                        eval_step=eval_step)
+                                        eval_step=eval_step, mesh=eval_mesh)
         textio.cprint(f"mean RNE score: {sf['rne']:.6f}")
         metrics_out.write({"epoch": epoch, "phase": "val", **sf, **seg,
                            **pose})
@@ -548,6 +617,13 @@ def eval_experiment(cfg: Config, textio=None) -> Dict:
     model = build_model(cfg.model, cfg)
     _, _, test_ds = build_datasets(cfg, textio)
 
+    mesh = None
+    if (cfg.data_parallel and len(jax.devices()) > 1
+            and cfg.model != "cmflow_t"
+            and int(cfg.eval_batch_size) % len(jax.devices()) == 0):
+        mesh = meshlib.make_mesh()
+        textio.cprint(f"data-parallel eval over {mesh.devices.size} devices")
+
     loader = BatchLoader(test_ds, 1, num_workers=0, pad_bucket=cfg.num_points,
                          pad_multiple=cfg.eval_pad_multiple)
     first = next(iter(loader))
@@ -569,7 +645,8 @@ def eval_experiment(cfg: Config, textio=None) -> Dict:
     save_dir = os.path.join(exp_dir, "results") if cfg.save_res else None
     vis_dir = os.path.join(exp_dir, "test_vis") if cfg.vis else None
     sf, seg, pose = evaluate_frames(cfg, model, state, test_ds, textio,
-                                    save_res_dir=save_dir, vis_dir=vis_dir)
+                                    save_res_dir=save_dir, vis_dir=vis_dir,
+                                    mesh=mesh)
     for d in (sf, seg, pose):
         for k, v in d.items():
             textio.cprint(f"###The mean {k}: {v}###")

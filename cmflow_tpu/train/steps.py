@@ -305,4 +305,21 @@ def make_eval_step(model_name: str, model, mesh=None,
             return sf_agg, stat_cls, pre_trans, mask, gfeat_new
         raise ValueError(model_name)
 
+    if mesh is not None:
+        # SPMD eval: replicate the state, shard every batch leaf (and the
+        # temporal GRU carry) on the data axis.  Outputs stay sharded;
+        # the host consumes them with ordinary fetches.  check_vma=False
+        # for the Pallas serving kernels under shard_map (CLAUDE.md).
+        if model_name == "cmflow_t":
+            sharded = jax.shard_map(
+                lambda s, b, g: step(s, b, g), mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_vma=False)
+        else:
+            sharded = jax.shard_map(
+                lambda s, b: step(s, b), mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_vma=False)
+        return jax.jit(sharded)
+
     return jax.jit(step)

@@ -51,6 +51,11 @@ class Config:
     vis: bool = False
     save_res: bool = False
     eval_pad_multiple: int = 128  # static bucket granularity for eval shapes
+    # pinned eval shape set: every eval batch pads to one of these N and
+    # nothing else (an unexpected shape = a fresh multi-minute remote
+    # compile mid-epoch); frames above the top bucket fail loudly.
+    # Buckets below num_points are ignored (num_points is the floor).
+    eval_buckets: tuple = (256, 384, 512)
     # frames per device batch during (non-temporal) evaluation; the
     # reference evaluated at B=1 (main.py:202-203) which on a tunneled TPU
     # is RTT-bound — batching + pipelined fetches recovers device throughput

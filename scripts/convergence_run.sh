@@ -1,29 +1,38 @@
 #!/bin/bash
-# Synthetic convergence gate (VERDICT r1 item 9): train cmflow for 24
-# epochs on a 320-sample synthetic VoD-layout set and watch val RNE fall.
-# Reference recipe: main.py:104-170.  Recorded runs:
-#   f32  (v5e, 2026-08-17) val RNE 0.288 -> 0.100  docs/convergence_r2.jsonl
-#   bf16 (CPU,  2026-08-18) val RNE 0.275 -> 0.105  docs/convergence_r3_bf16.jsonl
+# Synthetic convergence gate (VERDICT r1 item 9, extended to all three
+# model families in round 3 — VERDICT r2 item 6): train MODEL for EPOCHS
+# epochs on a 320-sample synthetic VoD-layout set and assert val RNE
+# falls below 60% of its first-epoch value.
+# Reference recipes: main.py:104-170 (frame-pair), clip_util.py:20-78
+# (temporal mini-clips).  Recorded runs:
+#   cmflow f32  (v5e, 2026-08-17) val RNE 0.288 -> 0.100  docs/convergence_r2.jsonl
+#   cmflow bf16 (CPU,  2026-08-18) val RNE 0.275 -> 0.105  docs/convergence_r3_bf16.jsonl
 #        (DTYPE=bfloat16 PLATFORM=cpu — run during the tunnel outage; the
 #        bf16 matmul semantics being gated are platform-independent)
-# Env knobs: DS (dataset dir), EXP (exp name), DTYPE (train compute dtype),
-# PLATFORM (auto|cpu|tpu — cpu keeps the gate runnable when the TPU tunnel
-# is down), EPOCHS.
+#   raflow f32 / cmflow_t f32: docs/convergence_raflow_r3.jsonl,
+#        docs/convergence_cmflow_t_r3.jsonl (see those files' first line
+#        for the run parameters)
+# Env knobs: MODEL (cmflow|raflow|cmflow_t), DS (dataset dir), EXP (exp
+# name; default conv_$MODEL), DTYPE, PLATFORM (auto|cpu|tpu), EPOCHS,
+# BATCH.
 set -e
+MODEL=${MODEL:-cmflow}
 DS=${DS:-/tmp/conv_ds}
-EXP=${EXP:-conv_run}
+EXP=${EXP:-conv_${MODEL}}
 DTYPE=${DTYPE:-float32}
 PLATFORM=${PLATFORM:-auto}
 EPOCHS=${EPOCHS:-24}
+BATCH=${BATCH:-16}
 if [ ! -d "$DS" ]; then
   python - <<PY
 from cmflow_tpu.data.synthetic import write_synthetic_dataset
-write_synthetic_dataset("$DS", {"train": 320, "val": 48, "test": 16}, seed=5)
+write_synthetic_dataset("$DS", {"train": 320, "val": 48, "test": 16},
+                        clips_per_partition=8, seed=5)
 PY
 fi
-python -m cmflow_tpu.cli.main --config configs/cmflow.yaml \
-  --dataset_path "$DS" --exp_name "$EXP" --epochs "$EPOCHS" --batch_size 16 \
-  --compute_dtype "$DTYPE" --platform "$PLATFORM"
+python -m cmflow_tpu.cli.main --config "configs/${MODEL}.yaml" \
+  --dataset_path "$DS" --exp_name "$EXP" --epochs "$EPOCHS" \
+  --batch_size "$BATCH" --compute_dtype "$DTYPE" --platform "$PLATFORM"
 python - <<PY
 import json
 rows = [json.loads(l) for l in open("checkpoints/$EXP/metrics.jsonl")]

@@ -190,3 +190,59 @@ class TestLoaderErrorHandling:
         with pytest.raises(ValueError, match="corrupt sample"):
             for _ in loader:
                 pass
+
+
+class TestPinnedBuckets:
+    """Pinned eval shape set (cfg.eval_buckets): ragged frames must only
+    ever produce the whitelisted N values — on the remote-compile TPU
+    runtime an unexpected shape is a fresh multi-minute compile
+    mid-epoch."""
+
+    @staticmethod
+    def _ragged_ds(sizes):
+        class DS:
+            def __len__(self):
+                return len(sizes)
+
+            def __getitem__(self, i):
+                n = sizes[i]
+                return {
+                    "pc1": np.random.rand(n, 3).astype(np.float32),
+                    "pc2": np.random.rand(n, 3).astype(np.float32),
+                    "ft1": np.random.rand(n, 3).astype(np.float32),
+                }
+
+        return DS()
+
+    def test_ragged_epoch_stays_in_set(self):
+        rng = np.random.RandomState(0)
+        sizes = list(rng.randint(40, 512, size=37))
+        loader = BatchLoader(self._ragged_ds(sizes), batch_size=4,
+                             pad_buckets=[256, 384, 512], num_workers=0)
+        seen = set()
+        for b in loader:
+            seen.add(b["pc1"].shape[1])
+            assert b["pc1"].shape[1] == b["pc2"].shape[1]
+        assert seen <= {256, 384, 512}, seen
+        # each batch picked the SMALLEST fitting bucket
+        loader2 = BatchLoader(self._ragged_ds([100, 100]), batch_size=2,
+                              pad_buckets=[256, 384, 512], num_workers=0)
+        assert next(iter(loader2))["pc1"].shape[1] == 256
+
+    def test_oversize_frame_fails_loudly(self):
+        loader = BatchLoader(self._ragged_ds([600]), batch_size=1,
+                             pad_buckets=[256, 384, 512], num_workers=0)
+        with pytest.raises(ValueError, match="pinned eval bucket"):
+            list(loader)
+
+    def test_pinned_buckets_helper(self):
+        from cmflow_tpu.train.loop import _pinned_buckets
+        from cmflow_tpu.utils.config import Config
+
+        cfg = Config(exp_name="t", model="cmflow", num_points=256)
+        assert _pinned_buckets(cfg) == [256, 384, 512]
+        assert _pinned_buckets(cfg.replace(num_points=512)) == [512]
+        # num_points above every bucket: pinning disabled, open-ended
+        # rounding keeps working
+        assert _pinned_buckets(cfg.replace(num_points=1024)) is None
+        assert _pinned_buckets(cfg.replace(eval_buckets=())) is None

@@ -437,3 +437,71 @@ class TestPackedTransfer:
         for a, b in zip(jax.tree_util.tree_leaves(real.opt_state),
                         jax.tree_util.tree_leaves(abst.opt_state)):
             assert np.shape(a) == np.shape(b)
+
+
+class TestShardedEvalLoop:
+    """The PRODUCTION eval loop (loader -> packed shard upload ->
+    shard_map'd engine -> metrics) over the fake 8-device mesh — so the
+    first real multi-chip host needs zero new code (VERDICT r2 #10)."""
+
+    def test_evaluate_frames_sharded_matches_single_device(
+            self, tiny_root, tmp_path):
+        import jax
+
+        from cmflow_tpu.models import build_model
+        from cmflow_tpu.parallel.mesh import make_mesh
+        from cmflow_tpu.train.loop import (build_datasets, evaluate_frames,
+                                           init_model_state)
+        from cmflow_tpu.utils.logging import IOStream
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh (conftest)")
+
+        cfg = tiny_cfg(tiny_root, tmp_path, eval_batch_size=8,
+                       eval_buckets=(64, 192), eval=True)
+        textio = IOStream(str(tmp_path / "log.txt"))
+        model = build_model(cfg.model, cfg)
+        _, _, test_ds = build_datasets(cfg, textio)
+        example = None
+        from cmflow_tpu.data.loader import BatchLoader
+        first = next(iter(BatchLoader(test_ds, 1, num_workers=0,
+                                      pad_bucket=cfg.num_points,
+                                      pad_multiple=cfg.eval_pad_multiple)))
+        import jax.numpy as jnp
+        example = {k: jnp.asarray(v) for k, v in first.items()
+                   if k not in ("valid1", "valid2")}
+        example["_steps_per_epoch"] = None
+        state = init_model_state(cfg, model, None, example)
+
+        sf1, seg1, pose1 = evaluate_frames(cfg, model, state, test_ds,
+                                           textio, mesh=None)
+        mesh = make_mesh(8)
+        sf8, seg8, pose8 = evaluate_frames(cfg, model, state, test_ds,
+                                           textio, mesh=mesh)
+        for k in sf1:
+            np.testing.assert_allclose(sf8[k], sf1[k], rtol=1e-4, atol=1e-5,
+                                       err_msg=f"sf:{k}")
+        for k in seg1:
+            np.testing.assert_allclose(seg8[k], seg1[k], rtol=1e-4,
+                                       atol=1e-5, err_msg=f"seg:{k}")
+        for k in pose1:
+            np.testing.assert_allclose(pose8[k], pose1[k], rtol=1e-4,
+                                       atol=1e-5, err_msg=f"pose:{k}")
+
+    def test_indivisible_batch_fails_loudly(self, tiny_root, tmp_path):
+        import jax
+
+        from cmflow_tpu.models import build_model
+        from cmflow_tpu.parallel.mesh import make_mesh
+        from cmflow_tpu.train.loop import build_datasets, evaluate_frames
+        from cmflow_tpu.utils.logging import IOStream
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh (conftest)")
+        cfg = tiny_cfg(tiny_root, tmp_path, eval_batch_size=3, eval=True)
+        textio = IOStream(str(tmp_path / "log.txt"))
+        model = build_model(cfg.model, cfg)
+        _, _, test_ds = build_datasets(cfg, textio)
+        with pytest.raises(ValueError, match="not divisible"):
+            evaluate_frames(cfg, model, state=None, dataset=test_ds,
+                            textio=textio, mesh=make_mesh(8))
