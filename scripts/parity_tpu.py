@@ -55,8 +55,12 @@ def main():
             sf_d = float(np.abs(np.asarray(sf) - np.asarray(sf_r)).max())
             print(f"N={n} {dt}: cls {cls_d:.2e}  trans {tr_d:.2e}  "
                   f"mask agree {agree * 100:.2f}%  sf {sf_d:.2e}", flush=True)
+            # trans bound: engine and flax flows differ by ~1e-5, and the
+            # t = cb - R ca assembly amplifies a dR of 1e-5 by the ~21 m
+            # scene centroid — ~2e-4 is the parity floor even with both
+            # solvers at f64 truth (scripts/diag_kabsch_tpu.py)
             ok = ((cls_d < 1e-3 if dt == "float32" else cls_d < 3e-2)
-                  and tr_d < (1e-4 if dt == "float32" else 1e-2)
+                  and tr_d < (5e-4 if dt == "float32" else 1e-2)
                   and agree > 0.99)
             print("  ->", "OK" if ok else "SUSPECT", flush=True)
 
