@@ -111,6 +111,104 @@ def eval_scene_flow(
     }
 
 
+def eval_scene_flow_batch(
+    pc: np.ndarray,
+    pred: np.ndarray,
+    labels: np.ndarray,
+    mask: np.ndarray,
+    valid: np.ndarray,
+    radar_res: Dict[str, float] = RADAR_RES,
+) -> Dict[str, np.ndarray]:
+    """Vectorized per-frame scene-flow metrics over a PADDED batch.
+
+    Returns a dict of ``[B]`` arrays whose entries equal
+    ``eval_scene_flow(x[i:i+1, :nv_i])`` exactly (tested) — the epoch
+    metric is the mean of per-frame metrics, so frames stay independent.
+    Exists because the production eval loop's per-frame python calls were
+    the pipeline bottleneck (5.9 s of a 7.3 s 2048-frame epoch on a
+    1-core host); one vectorized call per batch removes it.
+    """
+    pc = np.asarray(pc, np.float64)
+    pred = np.asarray(pred, np.float64)
+    labels = np.asarray(labels, np.float64)
+    mask = np.asarray(mask)
+    valid = np.asarray(valid, bool)
+    nv = valid.sum(1)  # caller excludes nv == 0 frames
+
+    error = np.sqrt(np.sum((pred - labels) ** 2, -1) + 1e-20)
+    gtflow_len = np.sqrt(np.sum(labels * labels, -1) + 1e-20)
+
+    def fmean(x):  # per-frame mean over valid points
+        return np.sum(x * valid, 1) / nv
+
+    epe = fmean(error)
+    accs = fmean(np.logical_or(error <= 0.05, error / gtflow_len <= 0.05))
+    accr = fmean(np.logical_or(error <= 0.10, error / gtflow_len <= 0.10))
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        res_r = np.sqrt(np.sum(cartesian_res(pc, radar_res), -1) + 1e-20)
+        res_l = np.sqrt(np.sum(cartesian_res(pc, LIDAR_RES), -1) + 1e-20)
+        re_error = error / (res_r / res_l)
+    # padded points sit at the origin where r = 0 makes the resolution
+    # ratio nan; they are excluded from every sum below
+    re_error = np.where(valid, re_error, 0.0)
+
+    is_mov = np.logical_and(mask == 0, valid)
+    is_stat = np.logical_and(mask == 1, valid)
+    rne = fmean(re_error)
+    mov_rne = np.sum(re_error * is_mov, 1) / (is_mov.sum(1) + 1e-6)
+    with np.errstate(invalid="ignore"):
+        # a frame with zero static points is nan, like np.mean([])
+        stat_rne = np.sum(re_error * is_stat, 1) / is_stat.sum(1)
+    avg_rne = (mov_rne + stat_rne) / 2
+
+    sas = fmean(np.logical_or(re_error <= 0.10,
+                              re_error / gtflow_len <= 0.10))
+    ras = fmean(np.logical_or(re_error <= 0.20,
+                              re_error / gtflow_len <= 0.20))
+
+    return {
+        "rne": rne, "50-50 rne": avg_rne, "mov_rne": mov_rne,
+        "stat_rne": stat_rne, "sas": sas, "ras": ras, "epe": epe,
+        "accs": accs, "accr": accr,
+    }
+
+
+def eval_motion_seg_batch(pre: np.ndarray, gt: np.ndarray,
+                          valid: np.ndarray) -> Dict[str, np.ndarray]:
+    """Vectorized per-frame motion-seg metrics over a padded batch
+    (per-frame values identical to :func:`eval_motion_seg`)."""
+    pre = np.asarray(pre)
+    gt = np.asarray(gt)
+    valid = np.asarray(valid, bool)
+    tp = (np.logical_and(pre == 1, gt == 1) & valid).sum(1)
+    tn = (np.logical_and(pre == 0, gt == 0) & valid).sum(1)
+    fp = (np.logical_and(pre == 1, gt == 0) & valid).sum(1)
+    fn = (np.logical_and(pre == 0, gt == 1) & valid).sum(1)
+    acc = (tp + tn) / (tp + tn + fp + fn)
+    sen = tp / (tp + fn + 1e-10)
+    miou = 0.5 * (tp / (tp + fp + fn + 1e-10) + tn / (tn + fp + fn + 1e-10))
+    return {"acc": acc, "miou": miou, "sen": sen}
+
+
+def eval_trans_rpe_batch(gt_trans: np.ndarray,
+                         rigid_trans: np.ndarray) -> Dict[str, np.ndarray]:
+    """Vectorized per-frame relative pose errors (``[B]`` arrays matching
+    :func:`eval_trans_rpe` on each frame)."""
+    from scipy.spatial.transform import Rotation
+
+    gt = np.asarray(gt_trans, np.float64)
+    pred = np.asarray(rigid_trans, np.float64)
+    r_inv = np.swapaxes(gt[:, :3, :3], 1, 2)
+    t_inv = -np.einsum("bij,bj->bi", r_inv, gt[:, :3, 3])
+    rel_r = np.einsum("bij,bjk->bik", r_inv, pred[:, :3, :3])
+    rel_t = np.einsum("bij,bj->bi", r_inv, pred[:, :3, 3]) + t_inv
+    rte = np.linalg.norm(rel_t, axis=1)
+    rotvec = Rotation.from_matrix(rel_r).as_rotvec()
+    rae = np.abs(np.linalg.norm(rotvec, axis=1)) * 180 / np.pi
+    return {"RTE": rte, "RAE": rae}
+
+
 def eval_trans_rpe(gt_trans: np.ndarray,
                    rigid_trans: np.ndarray) -> Dict[str, float]:
     """Relative pose error of the predicted ego transforms

@@ -47,14 +47,9 @@ def _frame_loss(
     vr_thres: float,
     gfeat: Optional[Array] = None,
     axis_name: Optional[str] = None,
-    fused: bool = False,
 ):
     """Label generation + forward + composite loss for one frame pair.
-    Returns (loss, (items, new_batch_stats, gfeat_new)).
-
-    With ``fused`` true (cmflow only), the forward runs through the
-    recompute-VJP Pallas training engine (models/train_fused.py) instead
-    of ``model.apply`` — same math, no [B,N,K,C] HBM materialization."""
+    Returns (loss, (items, new_batch_stats, gfeat_new))."""
     pc1, pc2 = batch["pc1"], batch["pc2"]
     ft1, ft2 = batch["ft1"], batch["ft2"]
     vel1 = ft1[..., 0]
@@ -80,22 +75,10 @@ def _frame_loss(
     mseg_gt = labelgen.merge_mseg_labels(mseg_rrv, dyn_mask)
 
     if model_name == "cmflow":
-        if fused:
-            from cmflow_tpu.models.train_fused import cmflow_train_apply
-
-            outs, new_stats = cmflow_train_apply(
-                variables, pc1, pc2, ft1, ft2, mseg_gt,
-                stat_thres=model.stat_thres, cfg=model.cfg,
-                axis_name=axis_name,
-                # off-TPU (CPU tests) the kernels run interpreted
-                interpret=jax.default_backend() != "tpu",
-            )
-            mut = {"batch_stats": new_stats}
-        else:
-            outs, mut = model.apply(
-                variables, pc1, pc2, ft1, ft2, mseg_gt, True,
-                mutable=["batch_stats"],
-            )
+        outs, mut = model.apply(
+            variables, pc1, pc2, ft1, ft2, mseg_gt, True,
+            mutable=["batch_stats"],
+        )
         pred_f, mseg_pre, pre_trans, _ = outs
         gfeat_new = None
     elif model_name == "cmflow_t":
@@ -118,19 +101,6 @@ def _frame_loss(
     return loss, (items, mut["batch_stats"], gfeat_new)
 
 
-def _use_fused_train(model_name: str, fused: str) -> bool:
-    """Fused-training routing.  "auto" resolves to the flax path: with
-    offset-folded single-gather encoders, flat-row MXU scatter backward,
-    and the bf16 activation chain, the flax train step measures 108.2
-    ms/it f32 / 60.9 ms/it bf16 (B=64 N=256, on-device) vs the recompute
-    fused engine's 160.3 — train-mode BatchNorm's per-layer stats
-    barriers force ~8 chain traversals in the fused engine where XLA's
-    materialized path does ~2.  Opt in with fused="on"."""
-    if model_name != "cmflow":
-        return False
-    return fused in ("on", "true", "1", True)
-
-
 def make_train_step(
     model_name: str,
     model,
@@ -138,19 +108,22 @@ def make_train_step(
     calib_t_camera_radar: np.ndarray,
     vr_thres: float = 0.3,
     mesh=None,
-    fused: str = "auto",
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Array]]]:
-    """Build the jitted per-batch train step for frame-pair models."""
+    """Build the jitted per-batch train step for frame-pair models.
+
+    Training always runs the flax path: every recompute-based
+    alternative measured slower at this size (remat +33%; the retired
+    recompute-VJP Pallas train engine 160.3 vs 58.2 ms/it bf16 — see
+    docs/PERF.md "Train step" and the round-3 ledger)."""
     proj = jnp.asarray(calib_projection)
     tcr = jnp.asarray(calib_t_camera_radar)
     axis = DATA_AXIS if mesh is not None else None
-    use_fused = _use_fused_train(model_name, fused)
 
     def step(state: TrainState, batch: Batch):
         def loss_fn(params):
             return _frame_loss(
                 model_name, model, params, state.batch_stats, batch,
-                proj, tcr, vr_thres, axis_name=axis, fused=use_fused,
+                proj, tcr, vr_thres, axis_name=axis,
             )
 
         (_, (items, new_stats, _)), grads = jax.value_and_grad(

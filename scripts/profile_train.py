@@ -24,7 +24,6 @@ N = int(os.environ.get("N", "256"))
 STEPS = int(os.environ.get("STEPS", "5"))
 DTYPE = os.environ.get("DTYPE", "float32")
 OUT = os.environ.get("OUT", "/tmp/trace_train")
-FUSED = os.environ.get("FUSED", "auto")
 
 
 def main():
@@ -58,7 +57,7 @@ def main():
         model, jax.random.PRNGKey(0),
         (pc1, pc2, ft1, ft2, batch["mask"], True), make_optimizer())
     step = steplib.make_train_step("cmflow", model, VOD_CAMERA_PROJECTION,
-                                   VOD_T_CAMERA_RADAR, fused=FUSED)
+                                   VOD_T_CAMERA_RADAR)
     t0 = time.perf_counter()
     state, items = step(state, batch)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)

@@ -196,3 +196,66 @@ class TestGoldenData:
         assert n_with_static > 2500, n_with_static
         assert n_refit_consistent / n_with_static > 0.95, (
             n_refit_consistent, n_with_static)
+
+
+class TestBatchMetricsParity:
+    """eval_*_batch must equal the per-frame battery on every frame of a
+    ragged padded batch — the production eval loop now runs ONE vectorized
+    call per batch (the per-frame python loop was the pipeline
+    bottleneck)."""
+
+    def test_scene_flow_batch_matches_per_frame(self, rng):
+        b, n = 6, 64
+        pc = (rng.rand(b, n, 3) * 20 + 1).astype(np.float32)
+        pred = rng.randn(b, n, 3).astype(np.float32) * 0.4
+        gt = rng.randn(b, n, 3).astype(np.float32) * 0.4
+        mask = (rng.rand(b, n) > 0.4).astype(np.float32)
+        mask[3] = 1.0  # a frame with zero moving points
+        mask[4] = 0.0  # a frame with zero static points (nan stat_rne)
+        nv = rng.randint(8, n + 1, size=b)
+        valid = np.arange(n)[None, :] < nv[:, None]
+        pc[~valid] = 0.0
+
+        got = ev.metrics.eval_scene_flow_batch(pc, pred, gt, mask, valid)
+        for i in range(b):
+            want = ev.metrics.eval_scene_flow(
+                pc[i:i + 1, :nv[i]], pred[i:i + 1, :nv[i]],
+                gt[i:i + 1, :nv[i]], mask[i:i + 1, :nv[i]])
+            for k, w in want.items():
+                g = float(got[k][i])
+                if np.isnan(w):
+                    assert np.isnan(g), (k, i)
+                else:
+                    np.testing.assert_allclose(g, w, rtol=1e-12,
+                                               err_msg=f"{k}[{i}]")
+
+    def test_motion_seg_batch_matches_per_frame(self, rng):
+        b, n = 5, 48
+        pre = (rng.rand(b, n) > 0.5).astype(np.float32)
+        gt = (rng.rand(b, n) > 0.5).astype(np.float32)
+        nv = rng.randint(4, n + 1, size=b)
+        valid = np.arange(n)[None, :] < nv[:, None]
+        got = ev.metrics.eval_motion_seg_batch(pre, gt, valid)
+        for i in range(b):
+            want = ev.metrics.eval_motion_seg(pre[i, :nv[i]], gt[i, :nv[i]])
+            for k, w in want.items():
+                np.testing.assert_allclose(float(got[k][i]), w, rtol=1e-12,
+                                           err_msg=f"{k}[{i}]")
+
+    def test_trans_rpe_batch_matches_per_frame(self, rng):
+        from scipy.spatial.transform import Rotation as R
+        b = 7
+        def rand_t():
+            t = np.eye(4)
+            t[:3, :3] = R.from_euler("xyz", rng.randn(3) * 0.3).as_matrix()
+            t[:3, 3] = rng.randn(3)
+            return t
+        gt = np.stack([rand_t() for _ in range(b)])
+        pred = np.stack([rand_t() for _ in range(b)])
+        got = ev.metrics.eval_trans_rpe_batch(gt, pred)
+        for i in range(b):
+            want = ev.metrics.eval_trans_rpe(gt[i:i + 1], pred[i:i + 1])
+            np.testing.assert_allclose(float(got["RTE"][i]), want["RTE"],
+                                       rtol=1e-9)
+            np.testing.assert_allclose(float(got["RAE"][i]), want["RAE"],
+                                       rtol=1e-9)
