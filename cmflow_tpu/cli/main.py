@@ -27,7 +27,8 @@ def parse_args():
     p.add_argument("--model", type=str, default=None,
                    choices=[None, "raflow", "cmflow", "cmflow_t"])
     p.add_argument("--dataset", type=str, default=None,
-                   choices=[None, "vodDataset", "vodClipDataset"])
+                   choices=[None, "vodDataset", "vodClipDataset",
+                            "vodPackedDataset"])
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
@@ -41,6 +42,9 @@ def parse_args():
                    help="serving-engine dtype for evaluation passes")
     p.add_argument("--remat", default=None, action="store_const", const=True,
                    help="recompute grouped [B,N,K,C] chains in backward")
+    p.add_argument("--eval_batch_size", type=int, default=None,
+                   help="frames per device batch at eval (bigger batches "
+                        "amortize the per-batch host RPCs)")
     return p.parse_args()
 
 

@@ -10,9 +10,15 @@ from cmflow_tpu.data.vod import (
     decode_sample,
 )
 
+from cmflow_tpu.data.packed import packed_vod_dataset
+
 DATASET_REGISTRY = {
     "vodDataset": VodDataset,
     "vodClipDataset": VodClipDataset,
+    # zero-parse memmap feed (packs the json tree on first use) — the
+    # production choice on hosts where per-sample json parsing competes
+    # with the eval loop for CPU
+    "vodPackedDataset": packed_vod_dataset,
 }
 
 __all__ = [

@@ -195,3 +195,18 @@ class PackedVodDataset:
             "opt_flow": np.ascontiguousarray(opt_flow),
             "valid1": np.ones(n1, bool), "valid2": np.ones(n2, bool),
         }
+
+
+def packed_vod_dataset(root: str, partition: str = "train",
+                       eval_mode: bool = False, num_points: int = 256,
+                       seed: int = 1234, log=print) -> PackedVodDataset:
+    """DATASET_REGISTRY adapter: serve ``<root>/<partition>.pack``,
+    packing it from the json tree on first use (build-on-first-use, like
+    the native codec).  Makes the zero-parse production feed a config
+    switch: ``dataset: vodPackedDataset``."""
+    pack = os.path.join(root, partition + ".pack")
+    if not os.path.exists(pack):
+        log(f"packing {partition} split -> {pack}")
+        pack_split(root, partition, pack, log=log)
+    return PackedVodDataset(pack, partition, num_points=num_points,
+                            eval_mode=eval_mode, seed=seed, log=log)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import functools
 import json
 import os
+import queue
+import threading
 import time
 from typing import Dict, Optional, Tuple
 
@@ -137,10 +139,23 @@ def _unpack_fn(schema):
     def unpack(buf):
         out = {}
         ofs = 0
-        for key, shape, dtype in schema:
-            width = int(np.prod(shape[1:])) if len(shape) > 1 else 1
-            piece = lax.slice_in_dim(buf, ofs, ofs + width, axis=1)
-            out[key] = piece.reshape(shape).astype(dtype)
+        for key, shape, dtype, nbytes in schema:
+            if nbytes is None:
+                width = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+                piece = lax.slice_in_dim(buf, ofs, ofs + width, axis=1)
+                out[key] = piece.reshape(shape).astype(dtype)
+            else:
+                # bool field packed 4-per-lane: bitcast the f32 lanes to
+                # u32 and peel the little-endian bytes with shifts (pure
+                # integer VPU work; the uint8 pattern survives device_put
+                # bit-exactly because nothing interprets it as a float)
+                width = (nbytes + 3) // 4
+                piece = lax.slice_in_dim(buf, ofs, ofs + width, axis=1)
+                u = lax.bitcast_convert_type(piece, jnp.uint32)
+                by = jnp.stack(
+                    [(u >> (8 * j)) & 0xFF for j in range(4)], axis=-1)
+                flat = by.reshape(piece.shape[0], -1)[:, :nbytes]
+                out[key] = flat.reshape(shape).astype(dtype)
             ofs += width
         return out
 
@@ -171,17 +186,32 @@ def _unpack_preds(buf, n):
 def _to_device_packed(batch, mesh):
     """One-upload host->device transfer.
 
-    On tunneled runtimes every array upload is a ~40 ms RPC — a 13-array
-    batch costs ~0.5 s before any compute (measured: 32 s of a 44 s
-    2048-frame eval was upload RPCs).  Pack the whole batch into a single
-    f32 buffer on the host, upload once, and unpack with a jitted
-    slice/reshape/cast on device (fused, stays on-chip)."""
+    On tunneled runtimes every host->device upload is a ~40 ms RPC and the
+    wire moves ~35 MB/s — a 13-array batch costs ~0.5 s before any compute
+    (measured: 32 s of a 44 s 2048-frame eval was upload RPCs).  Pack the
+    whole batch into a single f32 buffer on the host, upload once, and
+    unpack with a jitted slice/reshape/cast on device (fused, stays
+    on-chip).  Bool fields ride as BYTES (4 per f32 lane, little-endian
+    view) instead of one f32 each — the wire is bandwidth-bound, so a
+    [B,N] valid mask costs N/4 lanes instead of N."""
     b = next(iter(batch.values())).shape[0]
     parts, schema = [], []
     for key in sorted(batch.keys()):
         v = np.asarray(batch[key])
-        parts.append(v.reshape(b, -1).astype(np.float32))
-        schema.append((key, tuple(v.shape), np.dtype(v.dtype).name))
+        flat = v.reshape(b, -1)
+        if v.dtype == np.bool_:
+            by = flat.astype(np.uint8)
+            nbytes = by.shape[1]
+            pad = (-nbytes) % 4
+            if pad:
+                by = np.concatenate(
+                    [by, np.zeros((b, pad), np.uint8)], axis=1)
+            parts.append(np.ascontiguousarray(by).view(np.float32))
+            schema.append((key, tuple(v.shape), "bool", nbytes))
+        else:
+            parts.append(flat.astype(np.float32))
+            schema.append((key, tuple(v.shape),
+                           np.dtype(v.dtype).name, None))
     buf = np.concatenate(parts, axis=1)
     if mesh is not None:
         buf = jax.device_put(
@@ -262,13 +292,16 @@ def _pinned_buckets(cfg: Config):
     return sorted(set(bs + [int(cfg.num_points)]))
 
 
-def _prewarm_eval_buckets(cfg, model, state, eval_step, buckets,
-                          batch_size, temporal, has_reset, dataset, textio,
-                          mesh=None):
+def _prewarm_eval_buckets(cfg, warm_run, buckets,
+                          batch_size, has_reset, dataset, textio,
+                          mesh=None, prep=None):
     """Compile every pinned eval shape up front (one dummy batch per
     bucket) so no mid-epoch batch triggers a fresh remote compile — on
     this runtime an unexpected shape stalls an eval epoch for minutes.
-    Compile cost is reported per bucket, separately from eval time."""
+    Compile cost is reported per bucket, separately from eval time.
+    ``warm_run(dev, nlanes)`` dispatches the SAME program the epoch loop
+    will (merged forward+metrics when device metrics are on) and returns
+    an array whose fetch is the sync."""
     from cmflow_tpu.data.schema import FIELDS_N1, FIELDS_N2, collate, pad_to
 
     s0 = dataset[0]
@@ -281,21 +314,54 @@ def _prewarm_eval_buckets(cfg, model, state, eval_step, buckets,
         batch = collate([pad_to(trimmed, n)] * batch_size)
         if has_reset:  # plan-mode batches carry per-lane reset flags;
             batch["reset"] = np.zeros(batch_size, bool)  # match structure
-        dev = _to_device_packed(
-            {k: v for k, v in batch.items()
-             if k != "lane_valid" and not k.startswith("_")}, mesh)
+        host = (prep(batch) if prep is not None else
+                {k: v for k, v in batch.items() if not k.startswith("_")})
+        dev = _to_device_packed(host, mesh)
         t0 = time.perf_counter()
-        if temporal:
-            g = jnp.zeros((batch_size, model.cfg.prop_width))
-            outs = eval_step(state, dev, g)
-        else:
-            outs = eval_step(state, dev)
-        np.asarray(outs[0][0, 0])  # value fetch = the only true sync
+        out = warm_run(dev, batch_size)
+        np.asarray(out)  # value fetch = the only true sync
         times.append((n, time.perf_counter() - t0))
     textio.cprint(
         "eval prewarm (compile per bucket): "
         + "  ".join(f"N={n}: {t:.1f}s" for n, t in times))
     return times
+
+
+def _upload_prefetch(loader, mesh, prep, depth: int = 2):
+    """Load + pack + upload batches in a worker thread, ``depth`` ahead of
+    the dispatch loop.
+
+    On the tunneled runtime every host->device upload is a ~40 ms RPC;
+    serialized with dispatch the uploads were the eval pipeline's remaining
+    bottleneck (load 0.6 s + h2d 0.7 s of a 2.5 s 2048-frame epoch).
+    Dispatch itself is async, so overlapping the NEXT batch's load+upload
+    with the device's current compute hides both.  Yields
+    ``(batch, dev, load_s, h2d_s)`` in loader order; worker exceptions
+    re-raise in the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def work():
+        try:
+            t_mark = time.perf_counter()
+            for batch in loader:
+                t0 = time.perf_counter()
+                host = prep(batch)
+                dev = _to_device_packed(host, mesh)
+                t1 = time.perf_counter()
+                q.put((batch, dev, t0 - t_mark, t1 - t0))
+                t_mark = time.perf_counter()
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001 — surface in consumer
+            q.put(e)
+
+    threading.Thread(target=work, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def evaluate_frames(
@@ -346,15 +412,81 @@ def evaluate_frames(
         num_workers=cfg.num_workers, pad_batch=not temporal,
         plan=lane_plan,
     )
+    def _prep(batch):
+        """Host-side batch prep for the wire: strip loader metadata and
+        the pseudo-label inputs the eval step never reads (radar_u/v,
+        opt_flow — 4 of ~22 floats/point on a bandwidth-bound tunnel),
+        and attach the per-lane validity mask as a bool (byte-packed)."""
+        host = {k: v for k, v in batch.items()
+                if not k.startswith("_")
+                and k not in ("radar_u", "radar_v", "opt_flow")}
+        lane = batch.get("lane_valid")
+        host["lane_valid"] = (
+            np.ones(host["pc1"].shape[0], bool) if lane is None
+            else np.asarray(lane, bool))
+        return host
+
+    # With no save_res/vis the whole metric battery runs ON DEVICE
+    # (evaluation/device_metrics.py) and only two scalars come back per
+    # EPOCH: each per-batch fetch RPC costs ~70-170 ms of latency on the
+    # tunnel regardless of payload, and 32 of them were the entire
+    # pipeline bottleneck (consume 5.4 s of a 6.0 s 2048-frame epoch).
+    # Forward + metric fold compile as ONE program per batch — a second
+    # per-batch dispatch measured ~75 ms of host time on the tunnel.
+    use_dev_metrics = save_res_dir is None and vis_dir is None
+    step_accum = step_accum_t = None
+    if use_dev_metrics:
+        from cmflow_tpu.evaluation import device_metrics as dmet
+
+        def _accum(sums, count, dev, pred_f, pred_m, pred_t):
+            keep = jnp.logical_and(dev["lane_valid"] > 0,
+                                   jnp.sum(dev["valid1"], axis=1) > 0)
+            vec = dmet.frame_metrics(
+                dev["pc1"], pred_f, dev["labels"], dev["mask"],
+                dev["valid1"], dev["trans"], pred_t, pred_m)
+            return dmet.accumulate(sums, count, vec, keep)
+
+        if temporal:
+            @jax.jit
+            def step_accum_t(st, dev, gfeat, sums, count):
+                pred_f, _, pred_t, pred_m, gnew = eval_step(st, dev, gfeat)
+                sums, count = _accum(sums, count, dev,
+                                     pred_f, pred_m, pred_t)
+                return sums, count, gnew
+        else:
+            @jax.jit
+            def step_accum(st, dev, sums, count):
+                pred_f, _, pred_t, pred_m = eval_step(st, dev)
+                sums, count = _accum(sums, count, dev,
+                                     pred_f, pred_m, pred_t)
+                return sums, count
+
+        msums = jnp.zeros((len(dmet.METRIC_KEYS),), jnp.float32)
+        mcount = jnp.zeros((), jnp.float32)
+
+    # the prewarm must compile the program the loop actually dispatches
+    # (merged forward+metrics when use_dev_metrics, bare forward otherwise)
+    def _warm_run(dev, nlanes):
+        if temporal:
+            g = jnp.zeros((nlanes, model.cfg.prop_width))
+            if use_dev_metrics:
+                s, _, _ = step_accum_t(state, dev, g, msums, mcount)
+                return s
+            return eval_step(state, dev, g)[0][0, 0]
+        if use_dev_metrics:
+            s, _ = step_accum(state, dev, msums, mcount)
+            return s
+        return eval_step(state, dev)[0][0, 0]
+
     if prewarm is None:
         # default: only where a surprise compile actually hurts (the
         # remote-compile TPU runtime) and only if >1 shape is possible
         prewarm = (buckets is not None and len(buckets) > 1
                    and jax.default_backend() == "tpu")
     if prewarm and buckets:
-        _prewarm_eval_buckets(cfg, model, state, eval_step, buckets,
-                              batch_size, temporal, lane_plan is not None,
-                              dataset, textio, mesh=mesh)
+        _prewarm_eval_buckets(cfg, _warm_run, buckets,
+                              batch_size, lane_plan is not None,
+                              dataset, textio, mesh=mesh, prep=_prep)
 
     sf_metric = {k: 0.0 for k in
                  ("rne", "50-50 rne", "mov_rne", "stat_rne", "sas", "ras",
@@ -447,17 +579,15 @@ def evaluate_frames(
 
     gfeat = None
     pending = None  # one-deep dispatch/consume pipeline
-    t_load = t_h2d = t_disp = t_cons = t_first = 0.0
+    t_load = t_h2d = t_disp = t_cons = t_first = t_stall = 0.0
     t_wall = time.perf_counter()
     t_mark = t_wall
-    for i, batch in enumerate(loader):
+    for i, (batch, dev, load_s, h2d_s) in enumerate(
+            _upload_prefetch(loader, mesh, _prep)):
         t_now = time.perf_counter()
-        t_load += t_now - t_mark
-        dev = _to_device_packed(
-            {k: v for k, v in batch.items()
-             if k != "lane_valid" and not k.startswith("_")}, mesh)
-        t_h2d += time.perf_counter() - t_now
-        t_now = time.perf_counter()
+        t_stall += t_now - t_mark  # main-thread wait on the prefetcher
+        t_load += load_s           # worker-thread time (overlapped)
+        t_h2d += h2d_s
         if temporal:
             if gfeat is None or gfeat.shape[0] != dev["pc1"].shape[0]:
                 gfeat = jnp.zeros((dev["pc1"].shape[0], model.cfg.prop_width))
@@ -466,23 +596,40 @@ def evaluate_frames(
                 gfeat = _reset_lanes(gfeat, dev["reset"])
             elif (i in clip_starts) or (i % cfg.update_len == 0):
                 gfeat = jnp.zeros_like(gfeat)
-            pred_f, pred_cls, pred_t, pred_m, gfeat = eval_step(
-                state, dev, gfeat)
+            if use_dev_metrics:
+                msums, mcount, gfeat = step_accum_t(
+                    state, dev, gfeat, msums, mcount)
+            else:
+                pred_f, pred_cls, pred_t, pred_m, gfeat = eval_step(
+                    state, dev, gfeat)
         else:
-            pred_f, pred_cls, pred_t, pred_m = eval_step(state, dev)
+            if use_dev_metrics:
+                msums, mcount = step_accum(state, dev, msums, mcount)
+            else:
+                pred_f, pred_cls, pred_t, pred_m = eval_step(state, dev)
         t_step = time.perf_counter() - t_now
         if i == 0:
             t_first = t_step  # includes the program compile
         else:
             t_disp += t_step
         t_now = time.perf_counter()
-        if pending is not None:
-            consume(*pending)
-        pending = (batch, _pack_preds(pred_f, pred_m, pred_t))
+        if not use_dev_metrics:
+            if pending is not None:
+                consume(*pending)
+            pending = (batch, _pack_preds(pred_f, pred_m, pred_t))
         t_cons += time.perf_counter() - t_now
         t_mark = time.perf_counter()
     if pending is not None:
         consume(*pending)
+    if use_dev_metrics:
+        # the ONE fetch of the epoch — also the sync that makes the wall
+        # clock honest
+        vec = np.asarray(msums)
+        num_pcs = int(np.asarray(mcount))
+        slots = dict(zip(dmet.METRIC_KEYS, vec))
+        for d in (sf_metric, seg_metric, pose_metric):
+            for k in d:
+                d[k] = float(slots[k])
     # num_pcs is final only after the last consume; the wall clock spans
     # dispatches, fetches, and (overlapped) metric work — an honest
     # end-to-end number on a runtime where only a fetch syncs (CLAUDE.md)
@@ -497,9 +644,10 @@ def evaluate_frames(
         % (infer_time * 1000 / max(num_pcs, 1))
     )
     textio.cprint(
-        "eval wall breakdown: load %.1fs  h2d %.1fs  first-batch(compile) "
-        "%.1fs  dispatch %.1fs  consume(fetch+metrics) %.1fs  total %.1fs"
-        % (t_load, t_h2d, t_first, t_disp, t_cons, infer_time))
+        "eval wall breakdown: stall(load+upload wait) %.1fs  first-batch"
+        "(compile) %.1fs  dispatch %.1fs  consume(fetch+metrics) %.1fs  "
+        "total %.1fs  [prefetch worker: load %.1fs  h2d %.1fs]"
+        % (t_stall, t_first, t_disp, t_cons, infer_time, t_load, t_h2d))
     return sf_metric, seg_metric, pose_metric
 
 

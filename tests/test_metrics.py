@@ -259,3 +259,63 @@ class TestBatchMetricsParity:
                                        rtol=1e-9)
             np.testing.assert_allclose(float(got["RAE"][i]), want["RAE"],
                                        rtol=1e-9)
+
+
+class TestDeviceMetricsParity:
+    """The on-device (jnp, f32) metric battery must match the host (f64)
+    battery to f32 noise on ragged padded batches — the production eval
+    loop accumulates it on device and fetches once per epoch."""
+
+    def test_frame_metrics_match_host(self, rng):
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation as R
+
+        from cmflow_tpu.evaluation import device_metrics as dm
+
+        b, n = 8, 96
+        pc = (rng.rand(b, n, 3) * 20 + 1).astype(np.float32)
+        pred = rng.randn(b, n, 3).astype(np.float32) * 0.4
+        gt = rng.randn(b, n, 3).astype(np.float32) * 0.4
+        mask = (rng.rand(b, n) > 0.4).astype(np.float32)
+        pred_m = (rng.rand(b, n) > 0.5)
+        nv = rng.randint(8, n + 1, size=b)
+        valid = np.arange(n)[None, :] < nv[:, None]
+        pc[~valid] = 0.0
+
+        def rand_t():
+            t = np.eye(4, dtype=np.float32)
+            t[:3, :3] = R.from_euler("xyz", rng.randn(3) * 0.2).as_matrix()
+            t[:3, 3] = rng.randn(3)
+            return t
+
+        gt_t = np.stack([rand_t() for _ in range(b)])
+        pr_t = np.stack([rand_t() for _ in range(b)])
+
+        vec = np.asarray(dm.frame_metrics(
+            jnp.asarray(pc), jnp.asarray(pred), jnp.asarray(gt),
+            jnp.asarray(mask), jnp.asarray(valid), jnp.asarray(gt_t),
+            jnp.asarray(pr_t), jnp.asarray(pred_m)))
+
+        from cmflow_tpu.evaluation import metrics as M
+        sf = M.eval_scene_flow_batch(pc, pred, gt, mask, valid)
+        seg = M.eval_motion_seg_batch(pred_m.astype(np.float32), mask,
+                                      valid)
+        pose = M.eval_trans_rpe_batch(gt_t, pr_t)
+        want = {**sf, **seg, **pose}
+        for j, k in enumerate(dm.METRIC_KEYS):
+            np.testing.assert_allclose(
+                vec[:, j], want[k], rtol=2e-4, atol=2e-5,
+                err_msg=k)
+
+    def test_accumulate_keep_mask(self):
+        import jax.numpy as jnp
+
+        from cmflow_tpu.evaluation import device_metrics as dm
+
+        vec = jnp.asarray(np.arange(28, dtype=np.float32).reshape(2, 14))
+        sums = jnp.zeros((14,))
+        cnt = jnp.zeros(())
+        sums, cnt = dm.accumulate(sums, cnt, vec,
+                                  jnp.asarray([True, False]))
+        assert float(cnt) == 1.0
+        np.testing.assert_allclose(np.asarray(sums), np.arange(14.0))
