@@ -21,13 +21,11 @@ never applies it (models/model.py:12-17), so defaults are the real recipe.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
-from jax import lax
 
 from cmflow_tpu.ops import pointops
 
@@ -180,142 +178,6 @@ class PointLocalFeature(nn.Module):
         return h  # [B, N, mlp2[-1]]
 
 
-# ---------------------------------------------------------------------------
-# Packed narrow encoder: parameter-holder modules.
-#
-# These declare EXACTLY the parameter/batch_stats tree that the per-scale
-# PointLocalFeature submodules would (same nested names, shapes, and init
-# distributions — flax derives init RNG from the path name, so the values
-# are identical too).  The packed compute path below consumes the arrays
-# jointly; checkpoints, the serving engine's param extraction
-# (models/inference.py), and every existing test see an unchanged tree.
-# ---------------------------------------------------------------------------
-
-
-class _BNParams(nn.Module):
-    """Declares nn.BatchNorm's params/stats without running its compute."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones_init(),
-                           (self.features,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros_init(),
-                          (self.features,), jnp.float32)
-        mean = self.variable("batch_stats", "mean",
-                             lambda s: jnp.zeros(s, jnp.float32),
-                             (self.features,))
-        var = self.variable("batch_stats", "var",
-                            lambda s: jnp.ones(s, jnp.float32),
-                            (self.features,))
-        return scale, bias, mean, var
-
-
-class _MLPParams(nn.Module):
-    """Declares PointwiseMLP's dense_i/bn_i params without compute."""
-
-    c_in: int
-    features: Sequence[int]
-
-    @nn.compact
-    def __call__(self):
-        layers = []
-        cin = self.c_in
-        for i, width in enumerate(self.features):
-            kernel = _DenseParams(cin, width, name=f"dense_{i}")()
-            bn = _BNParams(width, name=f"bn_{i}")()
-            layers.append((kernel, bn))
-            cin = width
-        return layers
-
-
-class _DenseParams(nn.Module):
-    c_in: int
-    c_out: int
-
-    @nn.compact
-    def __call__(self):
-        return self.param("kernel", torch_kernel_init,
-                          (self.c_in, self.c_out))
-
-
-class _PLFParams(nn.Module):
-    """Declares PointLocalFeature's full param tree (w0/bn0/mlp/mlp2)."""
-
-    c_in: int
-    mlp: Sequence[int]
-    mlp2: Sequence[int]
-
-    @nn.compact
-    def __call__(self):
-        w0 = self.param("w0", torch_kernel_init, (self.c_in, self.mlp[0]))
-        bn0 = _BNParams(self.mlp[0], name="bn0")()
-        mlp = _MLPParams(self.mlp[0], self.mlp[1:], name="mlp")()
-        mlp2 = _MLPParams(self.mlp[-1], self.mlp2, name="mlp2")()
-        return w0, bn0, mlp, mlp2
-
-
-def _block_dense(x: Array, kernels, dtype) -> Array:
-    """Block-diagonal Dense over concatenated per-scale channel blocks —
-    the same promotion rules as ``nn.Dense(dtype=...)`` (operands cast to
-    ``dtype``/promoted dtype, no ``preferred_element_type``), and the same
-    contraction, so per-block outputs are bitwise those of the per-scale
-    Dense (the off-block kernel entries contribute exact zeros)."""
-    w = jax.scipy.linalg.block_diag(*kernels)
-    cdt = dtype or jnp.promote_types(x.dtype, w.dtype)
-    return lax.dot_general(x.astype(cdt), w.astype(cdt),
-                           (((x.ndim - 1,), (0,)), ((), ())))
-
-
-class _JointBN(object):
-    """BatchNorm over concatenated per-scale channel blocks, mirroring
-    flax ``nn.BatchNorm`` op-for-op (normalization.py _compute_stats /
-    _normalize) with two extensions that keep per-scale semantics exact:
-
-      * masked statistics (``jnp.mean(..., where=)``) so a scale's
-        channels only see its own K rows of the packed neighbor axis;
-      * running stats write back into the per-scale ``batch_stats``
-        variables (slices of the joint moments — identical values).
-    """
-
-    def __init__(self, bns, momentum=0.9, epsilon=1e-5):
-        self.scales = jnp.concatenate([b[0] for b in bns])
-        self.biases = jnp.concatenate([b[1] for b in bns])
-        self.stat_vars = [(b[2], b[3]) for b in bns]
-        self.widths = [b[0].shape[0] for b in bns]
-        self.momentum = momentum
-        self.epsilon = epsilon
-
-    def __call__(self, x: Array, train: bool, mask: Optional[Array],
-                 axis_name: Optional[str], dtype, initializing: bool,
-                 ) -> Array:
-        axes = tuple(range(x.ndim - 1))
-        if train:
-            x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-            mu = x32.mean(axes, where=mask)
-            mu2 = jnp.square(x32).mean(axes, where=mask)
-            if axis_name is not None and not initializing:
-                mu, mu2 = lax.pmean(jnp.stack([mu, mu2]), axis_name)
-            var = jnp.maximum(0.0, mu2 - jnp.square(mu))
-            if not initializing:
-                off = 0
-                for (vm, vv), w in zip(self.stat_vars, self.widths):
-                    vm.value = (self.momentum * vm.value
-                                + (1 - self.momentum) * mu[off:off + w])
-                    vv.value = (self.momentum * vv.value
-                                + (1 - self.momentum) * var[off:off + w])
-                    off += w
-        else:
-            mu = jnp.concatenate([vm.value for vm, _ in self.stat_vars])
-            var = jnp.concatenate([vv.value for _, vv in self.stat_vars])
-        y = x - mu
-        y = y * (lax.rsqrt(var + self.epsilon) * self.scales)
-        y = y + self.biases
-        out_dtype = dtype or jnp.promote_types(x.dtype, jnp.float32)
-        return y.astype(out_dtype)
-
-
 class MultiScaleEncoder(nn.Module):
     """Concatenation of per-radius PointLocalFeature branches
     (radarflow_util.py:101-118)."""
@@ -327,20 +189,6 @@ class MultiScaleEncoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
-    # Pack the per-scale branches into ONE channel-blocked chain (see
-    # _packed below).  None = auto: pack when the per-scale widths are
-    # narrow enough that packing fills the 128-wide vector lanes the
-    # per-scale chains waste (the sa encoder: 4 scales x C=32..64), and
-    # remat is off (remat recomputes per scale).
-    packed: Optional[bool] = None
-
-    def _use_packed(self) -> bool:
-        if self.remat:
-            return False
-        if self.packed is not None:
-            return self.packed
-        s = len(self.radii)
-        return s * max(max(self.mlp), max(self.mlp2)) <= 256
 
     @nn.compact
     def __call__(
@@ -350,8 +198,6 @@ class MultiScaleEncoder(nn.Module):
         train: bool,
         valid: Optional[Array] = None,
     ) -> Array:
-        if self._use_packed():
-            return self._packed(xyz, features, train, valid)
         # remat: recompute each scale's [B,N,K,C] grouped chain in the
         # backward pass instead of storing its residuals — trades one
         # extra forward traversal for the HBM round-trips of the saved
@@ -370,97 +216,6 @@ class MultiScaleEncoder(nn.Module):
                 )(xyz, features, train, valid)
             )
         return jnp.concatenate(outs, axis=-1)
-
-    def _packed(
-        self,
-        xyz: Array,
-        features: Array,
-        train: bool,
-        valid: Optional[Array],
-    ) -> Array:
-        """All scales as ONE channel-block-diagonal chain — exact.
-
-        The per-scale chains at C=32..64 fill <=12% of the 128 vector
-        lanes and run 8 separate small kernels per layer per cloud (the
-        serving engine's packed Pallas kernel closed exactly this gap,
-        ops/fused.py).  Packing for the autodiff/BN-train path:
-
-          * scale s owns channel block s; weights are block-diagonal, so
-            each block's matmul output is bitwise the per-scale one (the
-            off-block kernel entries add exact zeros);
-          * the neighbor axes concatenate (sum K = 60 rows); a row of
-            scale s' has zeros in block s, and after each BatchNorm the
-            off-block entries are re-zeroed (mask multiply) before the
-            next matmul;
-          * BatchNorm statistics use masked moments (a scale's channels
-            only reduce over their own K rows — same element sets as the
-            per-scale BN, so the stats match to reduction-order rounding);
-          * the max over neighbors sees extra exact zeros, which cannot
-            change a max over post-ReLU (>= 0) values;
-          * the param/batch_stats tree is UNCHANGED (declared per scale by
-            _PLFParams with the same nested names/shapes/init paths).
-        """
-        s = len(self.radii)
-        c1 = self.mlp[0]
-        c_in = features.shape[-1] + 3
-        init = self.is_initializing()
-        holders = [
-            _PLFParams(c_in, tuple(self.mlp), tuple(self.mlp2),
-                       name=f"scale_{i}")()
-            for i in range(s)
-        ]
-
-        # first layer: shared input, concatenated output blocks — with the
-        # rel-offset folded into the gather (same associativity trick and
-        # centering as PointLocalFeature)
-        w0cat = jnp.concatenate([h[0] for h in holders], axis=1)
-        cdt = self.dtype or w0cat.dtype
-        xyz_c = xyz - jnp.mean(xyz, axis=1, keepdims=True)
-        off = jnp.einsum("bnc,cd->bnd",
-                         xyz_c.astype(cdt), w0cat[:3].astype(cdt),
-                         preferred_element_type=jnp.float32)
-        feat_tx = jnp.einsum("bnc,cd->bnd",
-                             features.astype(cdt), w0cat[3:].astype(cdt),
-                             preferred_element_type=jnp.float32)
-        base = feat_tx + off
-        if self.dtype is not None:
-            base = base.astype(self.dtype)
-            off = off.astype(self.dtype)
-        idx_all = jnp.concatenate(
-            [pointops.ball_query(r, k, xyz, xyz, valid)
-             for r, k in zip(self.radii, self.nsamples)],
-            axis=2,
-        )  # [B, N, sum(K)]
-        pre = pointops.group_points(base, idx_all) - off[:, :, None, :]
-
-        kscale = np.repeat(np.arange(s), list(self.nsamples))
-
-        def block_mask(width: int) -> Array:
-            cblk = np.repeat(np.arange(s), width)
-            return jnp.asarray(kscale[:, None] == cblk[None, :])
-
-        axis = self.axis_name if train else None
-        mask = block_mask(c1)
-        h = _JointBN([hd[1] for hd in holders])(
-            pre, train, mask, axis, self.dtype, init)
-        h = nn.relu(h) * mask.astype(h.dtype)
-
-        for j in range(len(self.mlp) - 1):
-            width = self.mlp[1 + j]
-            h = _block_dense(h, [hd[2][j][0] for hd in holders], self.dtype)
-            mask = block_mask(width)
-            h = _JointBN([hd[2][j][1] for hd in holders])(
-                h, train, mask, axis, self.dtype, init)
-            h = nn.relu(h) * mask.astype(h.dtype)
-
-        h = jnp.max(h, axis=2)  # extra zero rows cannot win (post-ReLU)
-
-        for j in range(len(self.mlp2)):
-            h = _block_dense(h, [hd[3][j][0] for hd in holders], self.dtype)
-            h = _JointBN([hd[3][j][1] for hd in holders])(
-                h, train, None, axis, self.dtype, init)
-            h = nn.relu(h)
-        return h
 
 
 class WeightNet(nn.Module):
