@@ -90,6 +90,10 @@ def _rtt_seconds():
 
 
 BENCH_PASSES = int(os.environ.get("BENCH_PASSES", "3"))
+# Discarded warmup passes before the recorded ones.  One was not always
+# enough on the tunnel (r2's f32 eval row: first recorded pass 12.5 vs
+# 11.8/11.9 steady — 6% spread purely from residual warmth).
+BENCH_WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
 
 
 def bench_tpu_eval(b, n, fused=None, dtype_name="float32"):
@@ -133,16 +137,16 @@ def bench_tpu_eval(b, n, fused=None, dtype_name="float32"):
     float(f[0, 0, 0])  # compile + full sync
 
     ms_passes = []
-    for p in range(BENCH_PASSES + 1):  # pass 0 is a discarded warmup
-        rtt = _rtt_seconds()
+    for p in range(BENCH_PASSES + BENCH_WARMUP):  # leading passes are
+        rtt = _rtt_seconds()                      # discarded warmups
         f = ft1
         t0 = time.perf_counter()
         for _ in range(TPU_ITERS):
             f = fwd_chain(variables, pc1, pc2, f, ft2)
         float(f[0, 0, 0])
         dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        if p > 0:  # the first timed pass still carries warmup/tunnel
-            ms_passes.append(dt / TPU_ITERS * 1e3)  # contamination; drop it
+        if p >= BENCH_WARMUP:  # early passes carry warmup/tunnel
+            ms_passes.append(dt / TPU_ITERS * 1e3)  # contamination
     ms = float(np.median(ms_passes))
     spread = (max(ms_passes) - min(ms_passes)) / ms
     fps = b / ms * 1e3
@@ -190,14 +194,14 @@ def bench_tpu_train(b, n, dtype_name="float32", remat=False):
     float(items["Loss"])  # compile + full sync
     iters = max(TPU_ITERS // 2, 5)
     ms_passes = []
-    for p in range(BENCH_PASSES + 1):  # pass 0 is a discarded warmup
+    for p in range(BENCH_PASSES + BENCH_WARMUP):
         rtt = _rtt_seconds()
         t0 = time.perf_counter()
         for _ in range(iters):
             state, items = step(state, batch)
         float(items["Loss"])  # sync through the chained state
         dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        if p > 0:
+        if p >= BENCH_WARMUP:
             ms_passes.append(dt / iters * 1e3)
     ms = float(np.median(ms_passes))
     spread = (max(ms_passes) - min(ms_passes)) / ms
@@ -209,20 +213,20 @@ def bench_tpu_train(b, n, dtype_name="float32", remat=False):
 
 
 def _timed_chain(run_iter, sync, iters, label, frames_per_it):
-    """Median-of-BENCH_PASSES timing with one discarded warmup pass.
+    """Median-of-BENCH_PASSES timing with BENCH_WARMUP discarded passes.
 
     ``run_iter(carry) -> carry`` chains a data dependency; ``sync(carry)``
     fetches one scalar (the only true sync on tunneled platforms)."""
     ms_passes = []
     carry = None
-    for p in range(BENCH_PASSES + 1):
+    for p in range(BENCH_PASSES + BENCH_WARMUP):
         rtt = _rtt_seconds()
         t0 = time.perf_counter()
         for _ in range(iters):
             carry = run_iter(carry)
         sync(carry)
         dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        if p > 0:
+        if p >= BENCH_WARMUP:
             ms_passes.append(dt / iters * 1e3)
     ms = float(np.median(ms_passes))
     spread = (max(ms_passes) - min(ms_passes)) / ms
