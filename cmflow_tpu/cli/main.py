@@ -40,8 +40,12 @@ def parse_args():
     p.add_argument("--eval_compute_dtype", type=str, default=None,
                    choices=[None, "float32", "bfloat16"],
                    help="serving-engine dtype for evaluation passes")
-    p.add_argument("--remat", default=None, action="store_const", const=True,
-                   help="recompute grouped [B,N,K,C] chains in backward")
+    p.add_argument("--remat", default=None, nargs="?", const=True,
+                   choices=[True, "dots"],
+                   type=lambda v: True if v in ("1", "true", "full") else v,
+                   help="recompute grouped [B,N,K,C] chains in backward "
+                        "(bare flag = full remat; 'dots' keeps MXU outputs "
+                        "and recomputes only BN/activation slices)")
     p.add_argument("--eval_batch_size", type=int, default=None,
                    help="frames per device batch at eval (bigger batches "
                         "amortize the per-batch host RPCs)")

@@ -31,8 +31,9 @@ def build_model(name: str, config: Any = None, axis_name=None):
         import jax.numpy as jnp
 
         kwargs["dtype"] = jnp.dtype(compute_dtype)
-    if getattr(config, "remat", False):
-        kwargs["remat"] = True
+    remat = getattr(config, "remat", False)
+    if remat:
+        kwargs["remat"] = remat
     if name == "raflow":
         kwargs["rigid_thres"] = getattr(config, "rigid_thres", 0.15)
     elif name == "cmflow":

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cmflow_tpu.nn import blocks
 from cmflow_tpu.nn.blocks import (
     FeatureCorrelator,
     MultiScaleEncoder,
@@ -83,8 +84,10 @@ class SceneFlowTrunk(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     # recompute the grouped [B,N,K,C] chains in the backward pass instead
-    # of storing their residuals (HBM-traffic experiment knob)
-    remat: bool = False
+    # of storing their residuals: False | True (full) | "dots" (keep the
+    # MXU outputs, recompute only BN/activation slices) — see
+    # nn/blocks.py remat_wrap
+    remat: object = False
 
     @nn.compact
     def __call__(
@@ -120,8 +123,7 @@ class SceneFlowTrunk(nn.Module):
             axis=-1,
         )
 
-        fc_cls = (nn.remat(FeatureCorrelator, static_argnums=(5,))
-                  if self.remat else FeatureCorrelator)
+        fc_cls = blocks.remat_wrap(FeatureCorrelator, self.remat, (5,))
         cor = fc_cls(
             cfg.fc_nsample, cfg.fc_mlp, dtype=self.dtype, name="fc_layer"
         )(pc1, pc2, pc1_feat, pc2_feat, train, valid1, valid2)

@@ -26,6 +26,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from cmflow_tpu.ops import pointops
 
@@ -45,6 +46,30 @@ def _torch_bias_init(fan_in: int):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init
+
+
+# ---------------------------------------------------------------------------
+# remat modes.  ``remat=True`` recomputes the whole grouped chain (gathers,
+# matmuls, BN) in the backward pass — measured to LOSE ~33% at B=64 N=256
+# (docs/PERF.md).  ``remat="dots"`` stores exactly the tensors named below
+# (the neighbor indices, every grouped-gather output, and every pre-BN Dense
+# output) and recomputes only the BatchNorm-statistics/normalize/activation
+# chains between them: the expensive MXU work is never redone, while the
+# saved-residual set drops the post-BN copy of every [B,N,K,C] activation.
+# ---------------------------------------------------------------------------
+
+REMAT_SAVED_NAMES = ("nbr_idx", "grouped_dot", "mlp_dot")
+
+
+def remat_wrap(cls, remat, static_argnums):
+    """Wrap a Module class for the requested remat mode (False/True/"dots")."""
+    if not remat:
+        return cls
+    if remat == "dots":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            *REMAT_SAVED_NAMES)
+        return nn.remat(cls, static_argnums=static_argnums, policy=policy)
+    return nn.remat(cls, static_argnums=static_argnums)
 
 
 class PointwiseMLP(nn.Module):
@@ -82,6 +107,7 @@ class PointwiseMLP(nn.Module):
                 dtype=self.dtype,
                 name=f"dense_{i}",
             )(x)
+            x = checkpoint_name(x, "mlp_dot")
             if self.use_bn:
                 # in bf16 mode the activations STAY bf16 between layers
                 # (halves the [rows, C] HBM traffic); flax computes the
@@ -137,7 +163,9 @@ class PointLocalFeature(nn.Module):
         w0 = self.param("w0", torch_kernel_init, (c_in, c1))
         cdt = self.dtype or w0.dtype  # bf16 multiplies, f32 accumulation
 
-        idx = pointops.ball_query(self.radius, self.nsample, xyz, xyz, valid)
+        idx = checkpoint_name(
+            pointops.ball_query(self.radius, self.nsample, xyz, xyz, valid),
+            "nbr_idx")
 
         # factored first layer with the rel-offset FOLDED into the gather
         # (same associativity trick as the serving kernel, ops/fused.py
@@ -162,7 +190,9 @@ class PointLocalFeature(nn.Module):
             # BOTH directions of the train step
             base = base.astype(self.dtype)
             off = off.astype(self.dtype)
-        pre = pointops.group_points(base, idx) - off[:, :, None, :]
+        pre = checkpoint_name(
+            pointops.group_points(base, idx) - off[:, :, None, :],
+            "grouped_dot")
         h = nn.relu(nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name if train else None, dtype=self.dtype,
@@ -188,7 +218,7 @@ class MultiScaleEncoder(nn.Module):
     mlp2: Sequence[int]
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: object = False  # False | True | "dots" (see remat_wrap)
 
     @nn.compact
     def __call__(
@@ -198,14 +228,13 @@ class MultiScaleEncoder(nn.Module):
         train: bool,
         valid: Optional[Array] = None,
     ) -> Array:
-        # remat: recompute each scale's [B,N,K,C] grouped chain in the
-        # backward pass instead of storing its residuals — trades one
-        # extra forward traversal for the HBM round-trips of the saved
-        # activations (they are the largest tensors in the train step).
+        # remat: recompute (all of, or the BN/activation slices of) each
+        # scale's [B,N,K,C] grouped chain in the backward pass instead of
+        # storing its residuals — trades recompute for the HBM round-trips
+        # of the saved activations (the largest tensors in the train step).
         # `train` (arg 3 counting self) must be static: it selects the
         # BatchNorm branch.
-        cls = (nn.remat(PointLocalFeature, static_argnums=(3,))
-               if self.remat else PointLocalFeature)
+        cls = remat_wrap(PointLocalFeature, self.remat, (3,))
         outs = []
         for i, (r, k) in enumerate(zip(self.radii, self.nsamples)):
             outs.append(
@@ -239,7 +268,7 @@ class WeightNet(nn.Module):
                 dtype=self.dtype,
                 name=f"dense_{i}",
             )(x)
-            x = nn.relu(x)
+            x = nn.relu(checkpoint_name(x, "mlp_dot"))
         return x.astype(jnp.float32)
 
 
@@ -279,9 +308,11 @@ class FeatureCorrelator(nn.Module):
         c1 = self.mlp[0]
 
         # --- point-to-patch volume over frame-2 neighborhoods
-        knn_idx = pointops.knn(k, xyz1, xyz2, valid2)  # [B, N1, K]
+        knn_idx = checkpoint_name(
+            pointops.knn(k, xyz1, xyz2, valid2), "nbr_idx")  # [B, N1, K]
         neighbor_xyz = pointops.group_points(xyz2, knn_idx)
-        direction = neighbor_xyz - xyz1[:, :, None, :]  # [B, N1, K, 3]
+        direction = checkpoint_name(
+            neighbor_xyz - xyz1[:, :, None, :], "grouped_dot")  # [B,N1,K,3]
 
         w0 = self.param("w0", torch_kernel_init, (c_in, c1))
         b0 = self.param("b0", _torch_bias_init(c_in), (c1,))
@@ -311,8 +342,9 @@ class FeatureCorrelator(nn.Module):
         if self.dtype is not None:  # single-pass bf16 MXU gather
             base2 = base2.astype(self.dtype)
             point_term = point_term.astype(self.dtype)
-        pre = (point_term[:, :, None, :]
-               + pointops.group_points(base2, knn_idx))
+        pre = checkpoint_name(
+            point_term[:, :, None, :] + pointops.group_points(base2, knn_idx),
+            "grouped_dot")
         new_points = nn.leaky_relu(pre, 0.1)
         if len(self.mlp) > 1:
             new_points = PointwiseMLP(
@@ -325,15 +357,18 @@ class FeatureCorrelator(nn.Module):
         point_to_patch = jnp.sum(weights * new_points, axis=2)  # [B, N1, C]
 
         # --- patch-to-patch aggregation over frame-1 neighborhoods
-        knn_idx = pointops.knn(k, xyz1, xyz1, valid1)
+        knn_idx = checkpoint_name(
+            pointops.knn(k, xyz1, xyz1, valid1), "nbr_idx")
         neighbor_xyz = pointops.group_points(xyz1, knn_idx)
-        direction = neighbor_xyz - xyz1[:, :, None, :]
+        direction = checkpoint_name(
+            neighbor_xyz - xyz1[:, :, None, :], "grouped_dot")
 
         weights = WeightNet(self.mlp[-1], dtype=self.dtype,
                             name="weightnet2")(direction)
         p2p = (point_to_patch if self.dtype is None
                else point_to_patch.astype(self.dtype))
-        grouped_cost = pointops.group_points(p2p, knn_idx)
+        grouped_cost = checkpoint_name(
+            pointops.group_points(p2p, knn_idx), "grouped_dot")
         return jnp.sum(weights * grouped_cost, axis=2)  # [B, N1, C]
 
 

@@ -37,7 +37,9 @@ class Config:
     platform: str = "auto"  # jax platform override: auto|cpu|tpu (the
     # session sitecustomize pins a platform; env vars alone cannot move it)
     compute_dtype: str = "float32"  # or "bfloat16" for the matmul-heavy path
-    remat: bool = False  # recompute grouped chains in backward (saves HBM)
+    # recompute grouped chains in backward: False | True (full, measured to
+    # lose) | "dots" (keep MXU outputs, recompute BN/activation slices)
+    remat: object = False
     fused_inference: str = "auto"  # Pallas fused eval: auto|on|off
     nan_check: bool = False  # jax_debug_nans toggle (SURVEY.md §5 sanitizers)
     profile_dir: Optional[str] = None  # jax.profiler trace output

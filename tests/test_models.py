@@ -194,9 +194,14 @@ class TestComputeDtype:
 
 
 class TestRemat:
-    def test_remat_grads_and_stats_match(self, rng):
-        """remat=True (recompute grouped chains in backward) is bit-exact
-        vs the default: same loss, same grads, same BN stat updates."""
+    @pytest.mark.parametrize("mode", [True, "dots"])
+    def test_remat_grads_and_stats_match(self, rng, mode):
+        """remat=True (recompute grouped chains in backward) and
+        remat="dots" (save only neighbor indices / gather outputs /
+        pre-BN dots, recompute the BN+activation slices) are bit-exact
+        vs the default: same loss, same grads, same BN stat updates.
+        (Under jit the checkpoint boundary changes XLA fusion and adds
+        ~1e-5 reassociation noise — exactness is pinned untraced.)"""
         from types import SimpleNamespace
 
         b, n = 2, 64
@@ -220,7 +225,7 @@ class TestRemat:
             return l, g, mut
 
         l0, g0, s0 = run(False)
-        l1, g1, s1 = run(True)
+        l1, g1, s1 = run(mode)
         np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
         for a, b_ in zip(jax.tree_util.tree_leaves(g0),
                          jax.tree_util.tree_leaves(g1)):
