@@ -46,6 +46,10 @@ def parse_args():
                    help="recompute grouped [B,N,K,C] chains in backward "
                         "(bare flag = full remat; 'dots' keeps MXU outputs "
                         "and recomputes only BN/activation slices)")
+    p.add_argument("--eval_wire", type=str, default=None,
+                   choices=[None, "float32", "int16"],
+                   help="eval host->device wire format (int16 halves the "
+                        "packed upload; ~mm coordinate resolution)")
     p.add_argument("--eval_batch_size", type=int, default=None,
                    help="frames per device batch at eval (bigger batches "
                         "amortize the per-batch host RPCs)")

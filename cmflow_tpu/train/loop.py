@@ -144,6 +144,20 @@ def _unpack_fn(schema):
                 width = int(np.prod(shape[1:])) if len(shape) > 1 else 1
                 piece = lax.slice_in_dim(buf, ofs, ofs + width, axis=1)
                 out[key] = piece.reshape(shape).astype(dtype)
+            elif dtype == "q16":
+                # int16-quantized field: lane 0 is the per-array scale,
+                # the rest carry 2 little-endian int16 per f32 lane
+                # (same byte-transparency argument as the bool path)
+                width = 1 + (nbytes + 1) // 2
+                piece = lax.slice_in_dim(buf, ofs, ofs + width, axis=1)
+                scale = lax.slice_in_dim(piece, 0, 1, axis=1)
+                u = lax.bitcast_convert_type(
+                    lax.slice_in_dim(piece, 1, width, axis=1), jnp.uint32)
+                lo = ((u & 0xFFFF).astype(jnp.int32) ^ 0x8000) - 0x8000
+                hi = ((u >> 16).astype(jnp.int32) ^ 0x8000) - 0x8000
+                q = jnp.stack([lo, hi], axis=-1).reshape(
+                    piece.shape[0], -1)[:, :nbytes]
+                out[key] = (q.astype(jnp.float32) * scale).reshape(shape)
             else:
                 # bool field packed 4-per-lane: bitcast the f32 lanes to
                 # u32 and peel the little-endian bytes with shifts (pure
@@ -183,7 +197,7 @@ def _unpack_preds(buf, n):
     return pred_f, pred_m, pred_t
 
 
-def _to_device_packed(batch, mesh):
+def _to_device_packed(batch, mesh, wire="float32"):
     """One-upload host->device transfer.
 
     On tunneled runtimes every host->device upload is a ~40 ms RPC and the
@@ -193,7 +207,14 @@ def _to_device_packed(batch, mesh):
     unpack with a jitted slice/reshape/cast on device (fused, stays
     on-chip).  Bool fields ride as BYTES (4 per f32 lane, little-endian
     view) instead of one f32 each — the wire is bandwidth-bound, so a
-    [B,N] valid mask costs N/4 lanes instead of N."""
+    [B,N] valid mask costs N/4 lanes instead of N.
+
+    ``wire="int16"`` additionally quantizes every float32 field with
+    >= 32 lanes per row to symmetric int16 (2 per f32 lane; one leading
+    lane carries the per-array scale) — point coordinates at VoD's
+    ~60 m range land at 1.8 mm resolution, far below the radar's ~0.2 m
+    range bins, while the packed batch shrinks ~45%.  Opt-in
+    (``cfg.eval_wire``): the default wire stays lossless f32."""
     b = next(iter(batch.values())).shape[0]
     parts, schema = [], []
     for key in sorted(batch.keys()):
@@ -208,6 +229,18 @@ def _to_device_packed(batch, mesh):
                     [by, np.zeros((b, pad), np.uint8)], axis=1)
             parts.append(np.ascontiguousarray(by).view(np.float32))
             schema.append((key, tuple(v.shape), "bool", nbytes))
+        elif (wire == "int16" and v.dtype == np.float32
+              and flat.shape[1] >= 32):
+            n_lanes = flat.shape[1]
+            max_abs = float(np.max(np.abs(flat))) if flat.size else 0.0
+            scale = (max_abs / 32767.0) if max_abs > 0 else 1.0
+            q = np.clip(np.round(flat / np.float32(scale)),
+                        -32767, 32767).astype(np.int16)
+            if n_lanes % 2:
+                q = np.concatenate([q, np.zeros((b, 1), np.int16)], axis=1)
+            parts.append(np.full((b, 1), scale, np.float32))
+            parts.append(np.ascontiguousarray(q).view(np.float32))
+            schema.append((key, tuple(v.shape), "q16", n_lanes))
         else:
             parts.append(flat.astype(np.float32))
             schema.append((key, tuple(v.shape),
@@ -294,7 +327,7 @@ def _pinned_buckets(cfg: Config):
 
 def _prewarm_eval_buckets(cfg, warm_run, buckets,
                           batch_size, has_reset, dataset, textio,
-                          mesh=None, prep=None):
+                          mesh=None, prep=None, wire="float32"):
     """Compile every pinned eval shape up front (one dummy batch per
     bucket) so no mid-epoch batch triggers a fresh remote compile — on
     this runtime an unexpected shape stalls an eval epoch for minutes.
@@ -316,7 +349,7 @@ def _prewarm_eval_buckets(cfg, warm_run, buckets,
             batch["reset"] = np.zeros(batch_size, bool)  # match structure
         host = (prep(batch) if prep is not None else
                 {k: v for k, v in batch.items() if not k.startswith("_")})
-        dev = _to_device_packed(host, mesh)
+        dev = _to_device_packed(host, mesh, wire=wire)
         t0 = time.perf_counter()
         out = warm_run(dev, batch_size)
         np.asarray(out)  # value fetch = the only true sync
@@ -327,7 +360,7 @@ def _prewarm_eval_buckets(cfg, warm_run, buckets,
     return times
 
 
-def _upload_prefetch(loader, mesh, prep, depth: int = 2):
+def _upload_prefetch(loader, mesh, prep, depth: int = 2, wire="float32"):
     """Load + pack + upload batches in a worker thread, ``depth`` ahead of
     the dispatch loop.
 
@@ -346,7 +379,7 @@ def _upload_prefetch(loader, mesh, prep, depth: int = 2):
             for batch in loader:
                 t0 = time.perf_counter()
                 host = prep(batch)
-                dev = _to_device_packed(host, mesh)
+                dev = _to_device_packed(host, mesh, wire=wire)
                 t1 = time.perf_counter()
                 q.put((batch, dev, t0 - t_mark, t1 - t0))
                 t_mark = time.perf_counter()
@@ -384,6 +417,7 @@ def evaluate_frames(
     compiled program is reused across calls.
     """
     temporal = cfg.model == "cmflow_t"
+    wire = getattr(cfg, "eval_wire", "float32") or "float32"
     if eval_step is None:
         eval_step = make_experiment_eval_step(cfg, model, mesh=mesh)
     # the temporal model is frame-sequential per clip (GRU carry), but
@@ -486,7 +520,8 @@ def evaluate_frames(
     if prewarm and buckets:
         _prewarm_eval_buckets(cfg, _warm_run, buckets,
                               batch_size, lane_plan is not None,
-                              dataset, textio, mesh=mesh, prep=_prep)
+                              dataset, textio, mesh=mesh, prep=_prep,
+                              wire=wire)
 
     sf_metric = {k: 0.0 for k in
                  ("rne", "50-50 rne", "mov_rne", "stat_rne", "sas", "ras",
@@ -583,7 +618,7 @@ def evaluate_frames(
     t_wall = time.perf_counter()
     t_mark = t_wall
     for i, (batch, dev, load_s, h2d_s) in enumerate(
-            _upload_prefetch(loader, mesh, _prep)):
+            _upload_prefetch(loader, mesh, _prep, wire=wire)):
         t_now = time.perf_counter()
         t_stall += t_now - t_mark  # main-thread wait on the prefetcher
         t_load += load_s           # worker-thread time (overlapped)

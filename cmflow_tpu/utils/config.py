@@ -41,6 +41,10 @@ class Config:
     # lose) | "dots" (keep MXU outputs, recompute BN/activation slices)
     remat: object = False
     fused_inference: str = "auto"  # Pallas fused eval: auto|on|off
+    # eval host->device wire format: float32 (lossless, default) | int16
+    # (symmetric per-array quantization, ~45% smaller packed batches —
+    # 1.8 mm coordinate resolution at VoD range, for host-link-bound runs)
+    eval_wire: str = "float32"
     nan_check: bool = False  # jax_debug_nans toggle (SURVEY.md §5 sanitizers)
     profile_dir: Optional[str] = None  # jax.profiler trace output
 

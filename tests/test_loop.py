@@ -399,6 +399,33 @@ class TestPackedTransfer:
             np.testing.assert_array_equal(np.asarray(packed[k]),
                                           np.asarray(direct[k]), err_msg=k)
 
+    def test_int16_wire_quantization(self):
+        """wire="int16": float32 fields with >= 32 lanes ride as symmetric
+        int16 (error bound max|x|/32767 per array); small floats, bools,
+        and sub-32-lane arrays (trans, interval) stay exact."""
+        import numpy as np
+
+        from cmflow_tpu.train.loop import _to_device_packed
+
+        rng = np.random.RandomState(2)
+        batch = {
+            "pc1": (rng.randn(4, 16, 3) * 30).astype(np.float32),  # 48 lanes
+            "radar_u": (rng.rand(4, 40) * 1900).astype(np.float32),
+            "mask": (rng.rand(4, 40) > 0.5),
+            "interval": rng.rand(4).astype(np.float32),
+            "trans": rng.randn(4, 4, 4).astype(np.float32),  # 16 lanes
+            "zeros": np.zeros((4, 64), np.float32),  # all-zero scale guard
+        }
+        out = _to_device_packed(batch, None, wire="int16")
+        for k, v in batch.items():
+            got = np.asarray(out[k])
+            assert got.shape == v.shape and got.dtype == v.dtype, k
+            if k in ("mask", "interval", "trans"):
+                np.testing.assert_array_equal(got, v, err_msg=k)
+            else:
+                tol = np.abs(v).max() / 32767.0 * 0.5 + 1e-12
+                np.testing.assert_allclose(got, v, atol=tol, err_msg=k)
+
     def test_pred_pack_roundtrip(self):
         import numpy as np
 
