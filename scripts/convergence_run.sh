@@ -40,3 +40,17 @@ rnes = [r["rne"] for r in rows if "rne" in r]
 assert rnes[-1] < 0.6 * rnes[0], f"no convergence: {rnes[0]} -> {rnes[-1]}"
 print(f"converged: val RNE {rnes[0]:.4f} -> {min(rnes):.4f}")
 PY
+# record the gate artifact (first line = run parameters) when OUT is set,
+# e.g. OUT=docs/convergence_raflow_r3.jsonl
+if [ -n "$OUT" ]; then
+  python - <<PY
+import json, platform
+hdr = {"run": {"model": "$MODEL", "dtype": "$DTYPE",
+               "platform": "$PLATFORM", "epochs": int("$EPOCHS"),
+               "batch_size": int("$BATCH"), "dataset": "synthetic-320"}}
+with open("$OUT", "w") as f:
+    f.write(json.dumps(hdr) + "\n")
+    f.writelines(open("checkpoints/$EXP/metrics.jsonl"))
+print("wrote $OUT")
+PY
+fi
