@@ -43,7 +43,7 @@ class CMFlowT(nn.Module):
     cfg: BackboneConfig = BackboneConfig()
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: object = False  # False | True | "dots" (nn/blocks.py remat_wrap)
 
     @nn.compact
     def __call__(
