@@ -9,8 +9,10 @@
 #   cmflow bf16 (CPU,  2026-08-18) val RNE 0.275 -> 0.105  docs/convergence_r3_bf16.jsonl
 #        (DTYPE=bfloat16 PLATFORM=cpu — run during the tunnel outage; the
 #        bf16 matmul semantics being gated are platform-independent)
-#   raflow f32 / cmflow_t f32: docs/convergence_raflow_r3.jsonl,
-#        docs/convergence_cmflow_t_r3.jsonl (see those files' first line
+#   raflow f32 (v5e, 2026-08-19) val RNE 0.263 -> 0.156 over 36 epochs
+#        docs/convergence_raflow_r3.jsonl (self-supervised: needs ~36
+#        epochs to clear the 0.6x gate; 24 epochs reached 0.62x)
+#   cmflow_t f32: docs/convergence_cmflow_t_r3.jsonl (see the first line
 #        for the run parameters)
 # Env knobs: MODEL (cmflow|raflow|cmflow_t), DS (dataset dir), EXP (exp
 # name; default conv_$MODEL), DTYPE, PLATFORM (auto|cpu|tpu), EPOCHS,
