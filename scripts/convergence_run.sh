@@ -12,8 +12,9 @@
 #   raflow f32 (v5e, 2026-08-19) val RNE 0.263 -> 0.156 over 36 epochs
 #        docs/convergence_raflow_r3.jsonl (self-supervised: needs ~36
 #        epochs to clear the 0.6x gate; 24 epochs reached 0.62x)
-#   cmflow_t f32: docs/convergence_cmflow_t_r3.jsonl (see the first line
-#        for the run parameters)
+#   cmflow_t f32 (v5e, 2026-08-19) val RNE 0.266 -> 0.125 over 24 epochs
+#        docs/convergence_cmflow_t_r3.jsonl (mini-clip loader, temporal
+#        scan train step)
 # Env knobs: MODEL (cmflow|raflow|cmflow_t), DS (dataset dir), EXP (exp
 # name; default conv_$MODEL), DTYPE, PLATFORM (auto|cpu|tpu), EPOCHS,
 # BATCH.
