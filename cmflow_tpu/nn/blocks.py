@@ -69,6 +69,11 @@ def remat_wrap(cls, remat, static_argnums):
         policy = jax.checkpoint_policies.save_only_these_names(
             *REMAT_SAVED_NAMES)
         return nn.remat(cls, static_argnums=static_argnums, policy=policy)
+    if remat is not True:
+        # a YAML typo like remat: 'dot' or 'on' must not silently select
+        # FULL remat (the mode measured to lose 33%, docs/PERF.md)
+        raise ValueError(
+            f"remat must be False, True, or 'dots'; got {remat!r}")
     return nn.remat(cls, static_argnums=static_argnums)
 
 

@@ -232,13 +232,17 @@ def _to_device_packed(batch, mesh, wire="float32"):
         elif (wire == "int16" and v.dtype == np.float32
               and flat.shape[1] >= 32):
             n_lanes = flat.shape[1]
-            max_abs = float(np.max(np.abs(flat))) if flat.size else 0.0
-            scale = (max_abs / 32767.0) if max_abs > 0 else 1.0
-            q = np.clip(np.round(flat / np.float32(scale)),
+            # per-ROW scale (the wire already carries a [B,1] scale lane
+            # and the unpack broadcasts it) — one outlier frame must not
+            # degrade quantization resolution for the whole batch
+            max_abs = np.max(np.abs(flat), axis=1, keepdims=True)
+            scale = np.where(max_abs > 0, max_abs / 32767.0,
+                             1.0).astype(np.float32)
+            q = np.clip(np.round(flat / scale),
                         -32767, 32767).astype(np.int16)
             if n_lanes % 2:
                 q = np.concatenate([q, np.zeros((b, 1), np.int16)], axis=1)
-            parts.append(np.full((b, 1), scale, np.float32))
+            parts.append(scale)
             parts.append(np.ascontiguousarray(q).view(np.float32))
             schema.append((key, tuple(v.shape), "q16", n_lanes))
         else:
@@ -325,6 +329,35 @@ def _pinned_buckets(cfg: Config):
     return sorted(set(bs + [int(cfg.num_points)]))
 
 
+def _assert_wire_roundtrip(mesh):
+    """One-time bit-exactness check of the int16 wire against host truth.
+
+    Arbitrary int16 pairs viewed as f32 can land in NaN space (unlike the
+    bool path's tiny denormals), so a transfer layer that canonicalizes
+    float NaNs would corrupt quantized fields SILENTLY.  Pack a known
+    field whose int16 payload covers NaN/inf/denormal bit patterns
+    (0x7FFF/0xFF80-class lanes) and fail loudly if the unpack does not
+    reproduce the host-side dequantization exactly."""
+    b = max(1, len(mesh.devices.flat)) if mesh is not None else 1
+    rng = np.random.RandomState(0)
+    v = rng.uniform(-60.0, 60.0, size=(b, 64)).astype(np.float32)
+    v[:, 0] = 32767.0  # q=32767 twice -> 0x7FFF7FFF = f32 NaN payload
+    v[:, 1] = 32767.0
+    v[:, 2] = -32640.0  # 0x8080-class lanes -> sign/denormal patterns
+    v[:, 3] = -32640.0
+    scale = np.max(np.abs(v), axis=1, keepdims=True) / 32767.0
+    q = np.clip(np.round(v / scale), -32767, 32767).astype(np.int16)
+    want = q.astype(np.float32) * scale
+    got = np.asarray(
+        _to_device_packed({"x": v * 1.0}, mesh, wire="int16")["x"])
+    if not np.array_equal(got, want):
+        bad = int(np.sum(got != want))
+        raise RuntimeError(
+            f"int16 wire round-trip mismatch on {bad} lanes — the "
+            "transfer layer is not byte-transparent (NaN canonicalization?)"
+            "; use --eval_wire float32")
+
+
 def _prewarm_eval_buckets(cfg, warm_run, buckets,
                           batch_size, has_reset, dataset, textio,
                           mesh=None, prep=None, wire="float32"):
@@ -337,6 +370,8 @@ def _prewarm_eval_buckets(cfg, warm_run, buckets,
     an array whose fetch is the sync."""
     from cmflow_tpu.data.schema import FIELDS_N1, FIELDS_N2, collate, pad_to
 
+    if wire == "int16":
+        _assert_wire_roundtrip(mesh)
     s0 = dataset[0]
     times = []
     for n in buckets:
