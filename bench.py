@@ -313,9 +313,10 @@ def bench_tpu_cmflow_t_eval(b, n, dtype_name="bfloat16"):
     return fps
 
 
-def bench_tpu_cmflow_t_train(b, n, t=4, dtype_name="float32"):
+def bench_tpu_cmflow_t_train(b, n, t=5, dtype_name="float32"):
     """CMFlow_T truncated-BPTT clip train step (scan over T frames with a
-    per-frame optimizer update, clip_util.py:34-66)."""
+    per-frame optimizer update, clip_util.py:34-66).  T defaults to the
+    reference recipe's mini_clip_len=5 (configs.yaml)."""
     import types
 
     import jax
@@ -562,6 +563,7 @@ def main():
     # the other two model families (VERDICT r2 #4); opt-out via
     # BENCH_FAMILIES=0
     raflow_fps = cmt_eval_fps = cmt_train_fps = None
+    cmt_train_bf16_fps = None
     if os.environ.get("BENCH_FAMILIES", "1") != "0":
         try:
             raflow_fps = bench_tpu_raflow_eval(BATCH, N_POINTS)
@@ -576,6 +578,11 @@ def main():
                 max(BATCH // 4, 1), N_POINTS)
         except Exception as e:
             log(f"cmflow_t train bench failed: {e}")
+        try:
+            cmt_train_bf16_fps = bench_tpu_cmflow_t_train(
+                max(BATCH // 4, 1), N_POINTS, dtype_name="bfloat16")
+        except Exception as e:
+            log(f"cmflow_t bf16 train bench failed: {e}")
     try:
         cpu_fps = bench_torch_cpu(CPU_BATCH, N_POINTS)
     except Exception as e:
@@ -616,6 +623,8 @@ def main():
                 round(cmt_eval_fps, 2) if cmt_eval_fps else None,
             "cmflow_t_train_fps":
                 round(cmt_train_fps, 2) if cmt_train_fps else None,
+            "cmflow_t_train_bf16_fps":
+                round(cmt_train_bf16_fps, 2) if cmt_train_bf16_fps else None,
             "batch": BATCH,
             "n_points": N_POINTS,
         },

@@ -667,35 +667,64 @@ def _mxu_group_bwd(interpret, res, g):
 mxu_group_points.defvjp(_mxu_group_fwd, _mxu_group_bwd)
 
 
-def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
+def _hilo_pack(z: Array) -> Array:
+    """Lane-pack a f32 array as ``[hi | lo]`` bf16 halves (exact to
+    ~2^-16 relative): ONE one-hot MXU gather pass fetches both, and
+    :func:`_hilo_fold_mat` recombines them after the gather."""
+    hi = z.astype(jnp.bfloat16)
+    lo = (z - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
+def _hilo_fold_mat(m: int) -> Array:
+    """``[2m, m]`` constant with ``zg @ fold == zg[:, :m] + zg[:, m:]``
+    — recombines a hi/lo lane-packed gather output without lane slices
+    (8-lane slices are not Mosaic-friendly; the matmul is ~free)."""
+    r = lax.broadcasted_iota(jnp.int32, (2 * m, m), 0)
+    c = lax.broadcasted_iota(jnp.int32, (2 * m, m), 1)
+    return ((r % m) == c).astype(jnp.float32)
+
+
+def _cv_kernel(f1c_ref, f2c_ref, idx_ref, zpk2_ref, z1_ref,
                b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               wn0_ref, wnb0_ref, wn1_ref, wnb1_ref, wn2_ref, wnb2_ref,
+               wnb0_ref, wn1_ref, wnb1_ref, wn2_ref, wnb2_ref,
                out_ref, *, nsample):
     """Fused point-to-patch cost volume (FeatureCorrelator first half,
-    radarflow_util.py:185-214): per neighbor k — one-hot gather of the
-    transformed frame-2 features, LeakyReLU(0.1) dense chain, WeightNet
-    from the offset, weighted accumulation.  All in VMEM."""
-    n2 = f2t_ref.shape[1]
+    radarflow_util.py:185-214) with the offset math FOLDED (round 4):
+
+      dense first layer:  ``f1 + gather(f2) + d_k@wd`` ==
+        ``f1c + gather(f2c)`` where ``f1c = f1 - xyz1c@wd`` and
+        ``f2c = f2 + xyz2c@wd`` are built outside the kernel (the same
+        identity PLF uses; exact because gather is selection).
+      WeightNet first layer:  ``d_k@wn0 == gather(xyz2c@wn0) - xyz1c@wn0``
+        — the projection is gathered as ONE hi/lo lane-packed ``[N,16]``
+        operand (``zpk2``), one 128-lane MXU pass per k instead of the
+        two xyz hi/lo passes, and the in-kernel ``[.,3]@[3,8]`` /
+        ``[.,3]@[3,C]`` dots disappear.
+
+    Per neighbor k — one-hot gather of the folded frame-2 features,
+    LeakyReLU(0.1) dense chain, WeightNet from the folded offset
+    projection, weighted accumulation.  All in VMEM."""
+    n2 = f2c_ref.shape[1]
     t = idx_ref.shape[3]
-    c = f1t_ref.shape[2]
+    c = f1c_ref.shape[2]
 
     # U neighbors per iteration (lane-concatenated one-hots, see
     # _plf_kernel): gathers + dense chain + WeightNet run on [U*T] rows
     u = max(d for d in (8, 4, 2, 1) if nsample % d == 0)
     rows = lax.broadcasted_iota(jnp.int32, (n2, u * t), dimension=0)
     dim0 = (((0,), (0,)), ((), ()))  # contract leading dims: a^T @ b
-    xyz2 = xyz2_ref[0].astype(jnp.float32)
-    xyz2_hi = xyz2.astype(jnp.bfloat16)
-    xyz2_lo = (xyz2 - xyz2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xyz1_1 = xyz1_ref[0].astype(jnp.float32)  # [T, 3]
-    xyz1 = jnp.concatenate([xyz1_1] * u, axis=0)  # [U*T, 3]
-    f1t = jnp.concatenate([f1t_ref[0].astype(jnp.float32)] * u, axis=0)
-    f2 = f2t_ref[0]
+    z1_1 = z1_ref[0].astype(jnp.float32)  # [T, 8]
+    z1 = jnp.concatenate([z1_1] * u, axis=0)  # [U*T, 8]
+    f1c = jnp.concatenate([f1c_ref[0].astype(jnp.float32)] * u, axis=0)
+    f2 = f2c_ref[0]
     if f2.dtype == jnp.bfloat16:
         f2_hi, f2_lo = f2, None
     else:
         f2_hi = f2.astype(jnp.bfloat16)
         f2_lo = (f2 - f2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    zpk = zpk2_ref[0]  # [N2, 16] bf16: [z2_hi | z2_lo]
+    fold = _hilo_fold_mat(z1.shape[1])
     w1 = w1_ref[:]
     w2 = w2_ref[:]
 
@@ -708,16 +737,7 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
         if f2_lo is not None:
             g = g + lax.dot_general(oh_t, f2_lo, dim0,
                                     preferred_element_type=jnp.float32)
-        # dirs = xyz2[idx_k] - xyz1 (hi/lo one-hot gather), [U*T, 3]
-        d_k = (lax.dot_general(oh_t, xyz2_hi, dim0,
-                               preferred_element_type=jnp.float32)
-               + lax.dot_general(oh_t, xyz2_lo, dim0,
-                                 preferred_element_type=jnp.float32)
-               - xyz1)
-        wd = wd_ref[:]
-        x = f1t + g + jnp.dot(
-            d_k.astype(wd.dtype), wd,
-            preferred_element_type=jnp.float32) + b0_ref[:]
+        x = f1c + g + b0_ref[:]
         x = jnp.where(x > 0, x, 0.1 * x)
         x = jnp.dot(x.astype(w1.dtype), w1,
                     preferred_element_type=jnp.float32) + b1_ref[:]
@@ -727,9 +747,11 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
         x = jnp.where(x > 0, x, 0.1 * x)
 
         # WeightNet(3 -> 8 -> 8 -> C), ReLU (radarflow_util.py:287-318)
-        w = jnp.maximum(jnp.dot(
-            d_k.astype(jnp.float32), wn0_ref[:],
-            preferred_element_type=jnp.float32) + wnb0_ref[:], 0.0)
+        zg = lax.dot_general(oh_t, zpk, dim0,
+                             preferred_element_type=jnp.float32)
+        w = jnp.maximum(jnp.dot(zg, fold,
+                                preferred_element_type=jnp.float32)
+                        - z1 + wnb0_ref[:], 0.0)
         w = jnp.maximum(jnp.dot(w, wn1_ref[:],
                                 preferred_element_type=jnp.float32)
                         + wnb1_ref[:], 0.0)
@@ -747,12 +769,15 @@ def _cv_kernel(f1t_ref, f2t_ref, idx_ref, xyz2_ref, xyz1_ref, wd_ref,
                                init).astype(out_ref.dtype)
 
 
-def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
-                   wn0_ref, wnb0_ref, wn1_ref, wnb1_ref, wn2_ref, wnb2_ref,
+def _cv_agg_kernel(p2p_ref, idx_ref, zpk1_ref, z1t_ref,
+                   wnb0_ref, wn1_ref, wnb1_ref, wn2_ref, wnb2_ref,
                    out_ref, *, nsample):
     """Fused patch-to-patch aggregation (FeatureCorrelator second half,
     radarflow_util.py:216-237): gather the point-to-patch costs over
-    frame-1 neighborhoods and WeightNet-weighted-sum them."""
+    frame-1 neighborhoods and WeightNet-weighted-sum them.  The offset
+    WeightNet input is folded like :func:`_cv_kernel`'s:
+    ``d_k@wn0 == gather(xyz1c@wn0) - xyz1c@wn0`` via the hi/lo
+    lane-packed ``zpk1`` (one gather pass instead of two)."""
     n = p2p_ref.shape[1]
     t = idx_ref.shape[3]
     c = p2p_ref.shape[2]
@@ -760,10 +785,9 @@ def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
     u = max(d for d in (8, 4, 2, 1) if nsample % d == 0)
     rows = lax.broadcasted_iota(jnp.int32, (n, u * t), dimension=0)
     dim0 = (((0,), (0,)), ((), ()))
-    xyz1 = xyz1_ref[0].astype(jnp.float32)
-    xyz1_hi = xyz1.astype(jnp.bfloat16)
-    xyz1_lo = (xyz1 - xyz1_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xyz1_t = jnp.concatenate([xyz1t_ref[0].astype(jnp.float32)] * u, axis=0)
+    z1t = jnp.concatenate([z1t_ref[0].astype(jnp.float32)] * u, axis=0)
+    zpk = zpk1_ref[0]  # [N, 16] bf16: [z1_hi | z1_lo]
+    fold = _hilo_fold_mat(z1t.shape[1])
     p2p = p2p_ref[0]
     if p2p.dtype == jnp.bfloat16:
         hi, lo = p2p, None
@@ -780,14 +804,11 @@ def _cv_agg_kernel(p2p_ref, idx_ref, xyz1_ref, xyz1t_ref,
         if lo is not None:
             g = g + lax.dot_general(oh_t, lo, dim0,
                                     preferred_element_type=jnp.float32)
-        d_k = (lax.dot_general(oh_t, xyz1_hi, dim0,
-                               preferred_element_type=jnp.float32)
-               + lax.dot_general(oh_t, xyz1_lo, dim0,
-                                 preferred_element_type=jnp.float32)
-               - xyz1_t)  # [U*T, 3]
-        w = jnp.maximum(jnp.dot(
-            d_k, wn0_ref[:],
-            preferred_element_type=jnp.float32) + wnb0_ref[:], 0.0)
+        zg = lax.dot_general(oh_t, zpk, dim0,
+                             preferred_element_type=jnp.float32)
+        w = jnp.maximum(jnp.dot(zg, fold,
+                                preferred_element_type=jnp.float32)
+                        - z1t + wnb0_ref[:], 0.0)
         w = jnp.maximum(jnp.dot(w, wn1_ref[:],
                                 preferred_element_type=jnp.float32)
                         + wnb1_ref[:], 0.0)
@@ -832,8 +853,8 @@ def fused_cost_volume(
         (``f @ w0[:d1]`` / ``f @ w0[d1:d1+d2]``).
       idx2: frame-2 k-NN indices ``[B, N, K]``.
       idx1: frame-1 (self) k-NN indices ``[B, N, K]``.
-      xyz1 / xyz2: ``[B, N, 3]`` coordinates (neighbor offsets are
-        gathered in-kernel).
+      xyz1 / xyz2: ``[B, N, 3]`` coordinates (their dense/WeightNet
+        projections are folded OUTSIDE the kernels — see _cv_kernel).
       dense: ``(wd, b0, w1, b1, w2, b2)`` — offset part of the factored
         first correlation layer + the two LeakyReLU dense layers.
       wn1 / wn2: WeightNet params ``(w0, b0, w1, b1, w2, b2)`` each.
@@ -843,6 +864,22 @@ def fused_cost_volume(
     """
     b, n, c = f1t.shape
     k = idx2.shape[2]
+
+    # Round-4 offset folding (see _cv_kernel docstring).  A COMMON
+    # per-pair center keeps d_k = xyz2[idx] - xyz1 shift-invariant (the
+    # fold is exact under any shared shift) while keeping the folded
+    # terms' bf16/hi-lo rounding at scene-extent scale instead of
+    # ego-position scale (CLAUDE.md round-2 centering finding).
+    ctr = jnp.mean(xyz1.astype(jnp.float32), axis=1, keepdims=True)
+    x1c = xyz1.astype(jnp.float32) - ctr
+    x2c = xyz2.astype(jnp.float32) - ctr
+    wd32 = dense[0].astype(jnp.float32)
+    f1c = (f1t.astype(jnp.float32) - x1c @ wd32).astype(f1t.dtype)
+    f2c = (f2t.astype(jnp.float32) + x2c @ wd32).astype(f2t.dtype)
+    z1a = x1c @ wn1[0]             # [B,N,8] stage-1 subtract term
+    zpk2 = _hilo_pack(x2c @ wn1[0])  # [B,N,16] bf16 gather operand
+    zq = x1c @ wn2[0]              # stage-2: gathered AND subtracted
+    zpk1 = _hilo_pack(zq)
 
     idx2_km = _km_idx(idx2)
     idx1_km = _km_idx(idx1)
@@ -865,10 +902,10 @@ def fused_cost_volume(
                          memory_space=pltpu.VMEM)
     tile3 = pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM)
-    xyz_full = pl.BlockSpec((1, n, 3), lambda bi, ti: (bi, 0, 0),
+    zpk_full = pl.BlockSpec((1, n, 16), lambda bi, ti: (bi, 0, 0),
                             memory_space=pltpu.VMEM)
-    xyz_tile = pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
-                            memory_space=pltpu.VMEM)
+    z_tile = pl.BlockSpec((1, tile, 8), lambda bi, ti: (bi, ti, 0),
+                          memory_space=pltpu.VMEM)
     idx_spec = pl.BlockSpec((1, k, 1, tile), lambda bi, ti: (bi, 0, 0, ti),
                             memory_space=pltpu.VMEM)
 
@@ -880,22 +917,22 @@ def fused_cost_volume(
         functools.partial(_cv_kernel, nsample=k),
         out_shape=jax.ShapeDtypeStruct((b, n, c), p2p_dtype),
         grid=grid,
-        in_specs=[tile3, full3, idx_spec, xyz_full, xyz_tile]
-        + specs([p.shape for p in dense])
-        + specs([p.shape for p in wn1]),
+        in_specs=[tile3, full3, idx_spec, zpk_full, z_tile]
+        + specs([p.shape for p in dense[1:]])
+        + specs([p.shape for p in wn1[1:]]),
         out_specs=tile3,
         interpret=interpret,
-    )(f1t, f2t, idx2_km, xyz2, xyz1, *dense, *wn1)
+    )(f1c, f2c, idx2_km, zpk2, z1a, *dense[1:], *wn1[1:])
 
     return pl.pallas_call(
         functools.partial(_cv_agg_kernel, nsample=k),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
         grid=grid,
-        in_specs=[full3, idx_spec, xyz_full, xyz_tile]
-        + specs([p.shape for p in wn2]),
+        in_specs=[full3, idx_spec, zpk_full, z_tile]
+        + specs([p.shape for p in wn2[1:]]),
         out_specs=tile3,
         interpret=interpret,
-    )(p2p, idx1_km, xyz1, xyz1, *wn2)
+    )(p2p, idx1_km, zpk1, zq, *wn2[1:])
 
 
 def cv_params_from_variables(fc_params):

@@ -10,16 +10,17 @@ counts are derived from the kernel structure in ops/fused.py:
             K=(4,8,16,32), gather base 512-wide, chain 512->256->64.
   CV        (_cv_kernel + _cv_agg_kernel): K=8 both stages; stage-1
             dense 512x512 x2 (first layer offset-folded), WeightNet
-            3->8->8->512 from in-kernel hi/lo xyz gathers.
+            8->8->512 from hi/lo lane-packed offset-projection gathers
+            (round-4 fold; wd and wn0 applied outside the kernels).
   MSE       (_mse_kernel, sa encoder, both clouds): 4 scales packed
             block-diagonally (C1c=128), PHASED gather (finished scales
             drop out of the contraction), chain [128,128]+[128,256].
   base builds (make_plf_base / make_mse_base): per-scale feat_tx+xyz@wrel.
 
-One-hot gathers: 1 bf16 MXU pass (2 for f32 hi/lo).  The in-kernel xyz
-gathers are ALWAYS 2 passes and their 3-wide rhs lane-pads to 128 — the
-"MXU-occupied" column counts that padding, which is why CV utilization
-trails PLF.  Neighbor kernels (ball/knn) are VPU-bound d^2 work scaling
+One-hot gathers: 1 bf16 MXU pass (2 for f32 hi/lo).  The CV offset
+projections gather as ONE hi/lo lane-packed [N,16] operand per k per
+stage, lane-padded to 128 — the "MXU-occupied" column counts that
+padding, which is why CV utilization trails PLF.  Neighbor kernels (ball/knn) are VPU-bound d^2 work scaling
 ~B*N^2; they are anchored to measured ms, not modeled.
 
 Usage: python scripts/roofline_serving.py [B N [measured_ms]] ...
@@ -55,13 +56,15 @@ def cv(b, n, f32=False):
     pairs = b * n * CV_K
     passes = 2 if f32 else 1
     gather = pairs * n * C_CV * passes * 2  # stage1 f2 + stage2 p2p
-    # xyz gathers: always hi/lo (2 passes), both stages; useful MACs
-    xyz_useful = pairs * n * 3 * 2 * 2
-    # ... but the 3-wide rhs occupies 128 lanes on the MXU
-    xyz_occupied = pairs * n * 128 * 2 * 2
-    dense = pairs * (3 * C_CV + 2 * C_CV * C_CV)  # wd + w1 + w2
-    wn = pairs * (3 * 8 + 8 * 8 + 8 * C_CV) * 2  # both stages
-    return gather + xyz_useful, dense + wn, xyz_occupied - xyz_useful
+    # offset-projection gathers (round 4 fold): the wd term is folded
+    # into f1c/f2c outside the kernel and the WeightNet input arrives
+    # as ONE hi/lo lane-packed [N,16] gather per k per stage (was two
+    # 128-lane xyz hi/lo passes + in-kernel [.,3] dots)
+    z_useful = pairs * n * 16 * 2
+    z_occupied = pairs * n * 128 * 2
+    dense = pairs * (2 * C_CV * C_CV)  # w1 + w2 (wd folded outside)
+    wn = pairs * (16 * 8 + 8 * 8 + 8 * C_CV) * 2  # fold-J + both stages
+    return gather + z_useful, dense + wn, z_occupied - z_useful
 
 
 def mse(b, n, f32=False):
