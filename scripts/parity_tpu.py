@@ -140,7 +140,8 @@ def check_cmflow_t(jax, jnp, make_clouds, build_model, oks):
                     v, a, b_, c, d, g, interpret=_interp(jax),
                     compute_dtype=dtype))
             g_r, g_e = g0, g0
-            worst = dict(cls=0.0, tr=0.0, agree=1.0, sf=0.0, g=0.0)
+            worst = dict(cls=0.0, tr=0.0, agree=1.0, sf=0.0, g=0.0,
+                         raw=1.0)
             for t, (pc1, pc2, ft1, ft2) in enumerate(frames):
                 sf_r, cls_r, tr_r, mask_r, g_r = ref_fn(
                     variables, pc1, pc2, ft1, ft2, g_r)
@@ -152,8 +153,18 @@ def check_cmflow_t(jax, jnp, make_clouds, build_model, oks):
                     np.abs(np.asarray(cls) - np.asarray(cls_r)).max()))
                 worst["tr"] = max(worst["tr"], float(
                     np.abs(np.asarray(tr) - np.asarray(tr_r)).max()))
+                # cmflow_t's mask is stat_cls > thres on the RAW cls, and
+                # under random init the classifier sits at sigmoid(~0) =
+                # 0.5 — a large mass lies within 1e-6 of the threshold,
+                # where any backend delta flips the bit.  Certify
+                # agreement AWAY from the boundary (|cls-thres| > 1e-5,
+                # ~10x the observed cls delta); report raw alongside.
+                eq = np.asarray(mask) == np.asarray(mask_r)
+                core = np.abs(np.asarray(cls_r, np.float32).reshape(
+                    eq.shape) - 0.5) > 1e-5
+                worst["raw"] = min(worst["raw"], float(eq.mean()))
                 worst["agree"] = min(worst["agree"], float(
-                    (np.asarray(mask) == np.asarray(mask_r)).mean()))
+                    eq[core].mean() if core.any() else 1.0))
                 worst["sf"] = max(worst["sf"], float(
                     np.abs(np.asarray(sf) - np.asarray(sf_r)).max()))
                 worst["g"] = max(worst["g"], float(
@@ -162,7 +173,8 @@ def check_cmflow_t(jax, jnp, make_clouds, build_model, oks):
             oks.append(_row(
                 f"cmflow_t N={n} T={T}", dt, worst["cls"], worst["tr"],
                 worst["agree"], worst["sf"],
-                extra=f"  gfeat {worst['g']:.2e}"))
+                extra=(f"  gfeat {worst['g']:.2e}"
+                       f"  raw-agree {worst['raw'] * 100:.2f}%")))
 
 
 def main():
