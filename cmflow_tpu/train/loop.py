@@ -507,28 +507,42 @@ def evaluate_frames(
     if use_dev_metrics:
         from cmflow_tpu.evaluation import device_metrics as dmet
 
-        def _accum(sums, count, dev, pred_f, pred_m, pred_t):
-            keep = jnp.logical_and(dev["lane_valid"] > 0,
-                                   jnp.sum(dev["valid1"], axis=1) > 0)
-            vec = dmet.frame_metrics(
-                dev["pc1"], pred_f, dev["labels"], dev["mask"],
-                dev["valid1"], dev["trans"], pred_t, pred_m)
-            return dmet.accumulate(sums, count, vec, keep)
-
-        if temporal:
-            @jax.jit
-            def step_accum_t(st, dev, gfeat, sums, count):
-                pred_f, _, pred_t, pred_m, gnew = eval_step(st, dev, gfeat)
-                sums, count = _accum(sums, count, dev,
-                                     pred_f, pred_m, pred_t)
-                return sums, count, gnew
+        # The jitted merged program is cached ON eval_step: building a
+        # fresh ``jax.jit`` object per evaluate_frames call gave each
+        # per-epoch validation pass an empty jit cache, recompiling the
+        # forward+metrics program every epoch (~10-16 s/bucket on the
+        # remote-compile tunnel, measured in the 60-epoch recipe run).
+        cached = getattr(eval_step, "_step_accum", None)
+        if cached is not None:
+            step_accum_t, step_accum = cached
         else:
-            @jax.jit
-            def step_accum(st, dev, sums, count):
-                pred_f, _, pred_t, pred_m = eval_step(st, dev)
-                sums, count = _accum(sums, count, dev,
-                                     pred_f, pred_m, pred_t)
-                return sums, count
+            def _accum(sums, count, dev, pred_f, pred_m, pred_t):
+                keep = jnp.logical_and(dev["lane_valid"] > 0,
+                                       jnp.sum(dev["valid1"], axis=1) > 0)
+                vec = dmet.frame_metrics(
+                    dev["pc1"], pred_f, dev["labels"], dev["mask"],
+                    dev["valid1"], dev["trans"], pred_t, pred_m)
+                return dmet.accumulate(sums, count, vec, keep)
+
+            if temporal:
+                @jax.jit
+                def step_accum_t(st, dev, gfeat, sums, count):
+                    pred_f, _, pred_t, pred_m, gnew = eval_step(st, dev,
+                                                                gfeat)
+                    sums, count = _accum(sums, count, dev,
+                                         pred_f, pred_m, pred_t)
+                    return sums, count, gnew
+            else:
+                @jax.jit
+                def step_accum(st, dev, sums, count):
+                    pred_f, _, pred_t, pred_m = eval_step(st, dev)
+                    sums, count = _accum(sums, count, dev,
+                                         pred_f, pred_m, pred_t)
+                    return sums, count
+            try:
+                eval_step._step_accum = (step_accum_t, step_accum)
+            except AttributeError:
+                pass  # non-function eval_step (e.g. a jit object proxy)
 
         msums = jnp.zeros((len(dmet.METRIC_KEYS),), jnp.float32)
         mcount = jnp.zeros((), jnp.float32)

@@ -515,6 +515,50 @@ class TestShardedEvalLoop:
             np.testing.assert_allclose(pose8[k], pose1[k], rtol=1e-4,
                                        atol=1e-5, err_msg=f"pose:{k}")
 
+    def test_step_accum_cached_across_evaluate_frames_calls(
+            self, tiny_root, tmp_path):
+        """The merged forward+metrics jit program must be cached on
+        eval_step: rebuilding a fresh ``jax.jit`` object per
+        evaluate_frames call gave each per-epoch validation pass an empty
+        jit cache, recompiling every epoch (~10-16 s/bucket measured on
+        the remote-compile tunnel during the 60-epoch recipe run)."""
+        from cmflow_tpu.models import build_model
+        from cmflow_tpu.train.loop import (build_datasets, evaluate_frames,
+                                           init_model_state,
+                                           make_experiment_eval_step)
+        from cmflow_tpu.utils.logging import IOStream
+
+        cfg = tiny_cfg(tiny_root, tmp_path, eval_batch_size=4,
+                       eval_buckets=(64, 192), eval=True)
+        textio = IOStream(str(tmp_path / "log.txt"))
+        model = build_model(cfg.model, cfg)
+        _, _, test_ds = build_datasets(cfg, textio)
+        from cmflow_tpu.data.loader import BatchLoader
+        first = next(iter(BatchLoader(test_ds, 1, num_workers=0,
+                                      pad_bucket=cfg.num_points,
+                                      pad_multiple=cfg.eval_pad_multiple)))
+        import jax.numpy as jnp
+        example = {k: jnp.asarray(v) for k, v in first.items()
+                   if k not in ("valid1", "valid2")}
+        example["_steps_per_epoch"] = None
+        state = init_model_state(cfg, model, None, example)
+        eval_step = make_experiment_eval_step(cfg, model)
+
+        sf1, _, _ = evaluate_frames(cfg, model, state, test_ds, textio,
+                                    eval_step=eval_step)
+        cached = eval_step._step_accum
+        assert cached is not None
+        jitted = cached[1]  # non-temporal step_accum
+        n_compiled = jitted._cache_size()
+        assert n_compiled >= 1
+        sf2, _, _ = evaluate_frames(cfg, model, state, test_ds, textio,
+                                    eval_step=eval_step)
+        assert eval_step._step_accum is cached, \
+            "second call rebuilt the jit wrapper (per-epoch recompiles)"
+        assert jitted._cache_size() == n_compiled, \
+            "second call retraced the merged forward+metrics program"
+        assert sf2["rne"] == pytest.approx(sf1["rne"], abs=1e-6)
+
     def test_train_experiment_mesh_matches_single_device(
             self, tmp_path_factory):
         """The PRODUCTION train loop end-to-end over the fake 8-device
