@@ -15,6 +15,11 @@
 #   cmflow_t f32 (v5e, 2026-08-19) val RNE 0.266 -> 0.125 over 24 epochs
 #        docs/convergence_cmflow_t_r3.jsonl (mini-clip loader, temporal
 #        scan train step)
+#   cmflow f32 60-EPOCH RECIPE-FAITHFUL (v5e, 2026-08-20): the full
+#        reference recipe (configs.yaml:5-11 / main.py:107-108 — 60
+#        epochs, bs16, StepLR x0.9/epoch) val RNE 0.2746 -> 0.0988,
+#        plateau ~0.099 from epoch 40 on.
+#        docs/convergence_cmflow_60ep_r4.jsonl
 # Env knobs: MODEL (cmflow|raflow|cmflow_t), DS (dataset dir), EXP (exp
 # name; default conv_$MODEL), DTYPE, PLATFORM (auto|cpu|tpu), EPOCHS,
 # BATCH.
