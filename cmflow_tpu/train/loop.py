@@ -776,7 +776,8 @@ def train_experiment(cfg: Config, textio=None) -> Dict:
     if temporal:
         step_fn = steplib.make_train_step_seq(
             model, train_ds.camera_projection_matrix,
-            train_ds.t_camera_radar, cfg.vr_thres, mesh=mesh)
+            train_ds.t_camera_radar, cfg.vr_thres, mesh=mesh,
+            model_name=cfg.model)
     else:
         step_fn = steplib.make_train_step(
             cfg.model, model, train_ds.camera_projection_matrix,

@@ -152,10 +152,16 @@ def make_train_step_seq(
     calib_t_camera_radar: np.ndarray,
     vr_thres: float = 0.3,
     mesh=None,
+    model_name: str = "cmflow_t",
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Array]]]:
-    """CMFlow_T mini-clip train step: ``lax.scan`` over the ``T`` axis with
+    """Temporal mini-clip train step: ``lax.scan`` over the ``T`` axis with
     a per-frame optimizer update and a detached recurrent carry
-    (clip_util.py:34-66)."""
+    (clip_util.py:34-66).
+
+    ``model_name`` selects the per-frame loss the same way
+    :func:`make_train_step` does (the reference's loss registry,
+    losses/loss_dict.py:5-35, permits clip training for any model); the
+    model must expose a ``prop_width`` recurrent carry."""
     proj = jnp.asarray(calib_projection)
     tcr = jnp.asarray(calib_t_camera_radar)
     axis = DATA_AXIS if mesh is not None else None
@@ -174,7 +180,7 @@ def make_train_step_seq(
 
             def loss_fn(params):
                 return _frame_loss(
-                    "cmflow_t", model, params, st.batch_stats, frame,
+                    model_name, model, params, st.batch_stats, frame,
                     proj, tcr, vr_thres, gfeat, axis_name=axis,
                 )
 
