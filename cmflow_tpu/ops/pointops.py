@@ -16,6 +16,7 @@ excluded from every neighborhood.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -23,6 +24,14 @@ import jax.numpy as jnp
 from jax import lax
 
 Array = jax.Array
+
+
+def _forced_xla(which: str) -> bool:
+    """Diagnostic bisection knob: CMFLOW_FORCE_XLA_OPS is a comma list of
+    op groups ("gather", "neighbors") forced onto the portable XLA
+    fallbacks even on TPU.  Used to isolate kernel-path regressions in
+    training runs; not a production switch."""
+    return which in os.environ.get("CMFLOW_FORCE_XLA_OPS", "").split(",")
 
 # A finite "infinity" for masked squared distances.  Large enough to push
 # padded points past any real neighbor, small enough to avoid inf-inf NaNs.
@@ -86,7 +95,7 @@ def knn(
     Returns:
       ``[B, S, k]`` int32 indices.
     """
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not _forced_xla("neighbors"):
         from cmflow_tpu.ops.neighbors import knn_pallas, pallas_ok
 
         if pallas_ok(points, query) and k <= 64:
@@ -94,6 +103,16 @@ def knn(
             # ties to the lower index), ~3x faster than the [N] sort
             return knn_pallas(k, query, points,
                               points_valid=points_valid)
+    return _knn_xla(k, query, points, points_valid)
+
+
+def _knn_xla(
+    k: int,
+    query: Array,
+    points: Array,
+    points_valid: Optional[Array] = None,
+) -> Array:
+    """Portable XLA fallback of :func:`knn` (also the parity reference)."""
     d = masked_square_distance(query, points, points_valid)
     _, idx = lax.top_k(-d, k)
     return idx.astype(jnp.int32)
@@ -140,7 +159,7 @@ def ball_query(
       ``[B, S, nsample]`` int32 indices into ``points``.
     """
     n = points.shape[1]
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not _forced_xla("neighbors"):
         from cmflow_tpu.ops.neighbors import ball_query_multi, pallas_ok
 
         if pallas_ok(points, query) and nsample <= n:
@@ -149,6 +168,19 @@ def ball_query(
             (idx,) = ball_query_multi((radius,), (nsample,), points, query,
                                       points_valid=points_valid)
             return idx
+    return _ball_query_xla(radius, nsample, points, query, points_valid)
+
+
+def _ball_query_xla(
+    radius: float,
+    nsample: int,
+    points: Array,
+    query: Array,
+    points_valid: Optional[Array] = None,
+) -> Array:
+    """Portable XLA fallback of :func:`ball_query` (also the parity
+    reference)."""
+    n = points.shape[1]
     d = square_distance(query, points)
     hit = d < jnp.float32(radius) ** 2
     if points_valid is not None:
@@ -188,7 +220,8 @@ def group_points(points: Array, idx: Array) -> Array:
     """
     n = points.shape[1]
     if (jax.default_backend() == "tpu" and n <= 512
-            and points.dtype in (jnp.float32, jnp.bfloat16)):
+            and points.dtype in (jnp.float32, jnp.bfloat16)
+            and not _forced_xla("gather")):
         from cmflow_tpu.ops.fused import mxu_group_points
 
         return mxu_group_points(points, idx)

@@ -1,0 +1,231 @@
+"""Compiled-TPU parity diagnostics for the bf16 TRAIN path.
+
+Round-4 context: raflow/cmflow_t bf16 convergence gates stall on TPU
+(val RNE plateau ~0.24) while every f32-TPU gate and the cmflow
+bf16-CPU gate pass.  The CPU gates never exercise the TPU-only kernels
+(pointops routes to vmap-gather / top_k off-TPU), so this script checks
+each TPU train-path kernel COMPILED, in both dtypes, against the exact
+XLA reference implementation, then the full per-family train gradient
+TPU-vs-CPU (same params, same batch, same dtype):
+
+  1. mxu_group_points forward  (bf16 single-pass / f32 hi-lo)
+  2. mxu_group_points backward (flat-row scatter kernel)
+  3. knn_pallas / ball_query_multi index parity
+  4. full _frame_loss gradients: per-leaf cosine + norm ratio
+
+Usage: python scripts/diag_bf16_kernels.py [--skip-grads] [--models ...]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILED = False
+
+
+def _run(dev, f, *xs):
+    with jax.default_device(dev):
+        out = jax.jit(f)(*xs)
+    return jax.device_get(out)
+
+
+def check_group_points(tpu, cpu):
+    global FAILED
+    from cmflow_tpu.ops.fused import mxu_group_points
+
+    rng = np.random.default_rng(0)
+    b, n, k, s = 8, 256, 32, 256
+    idx = jnp.asarray(rng.integers(0, n, (b, s, k)), jnp.int32)
+
+    def ref_gather(p, i):
+        return jax.vmap(lambda pp, ii: pp[ii])(p, i)
+
+    for c in (3, 32, 512):
+        for dt in (jnp.float32, jnp.bfloat16):
+            pts = jnp.asarray(
+                rng.standard_normal((b, n, c)) * 3.0, jnp.float32
+            ).astype(dt)
+            ref = _run(cpu, ref_gather, pts, idx)
+            got = _run(tpu, lambda p, i: mxu_group_points(p, i), pts, idx)
+            fd = float(np.max(np.abs(np.asarray(got, np.float32)
+                                     - np.asarray(ref, np.float32))))
+            cot = jnp.asarray(rng.standard_normal((b, s, k, c)),
+                              jnp.float32).astype(dt)
+
+            def loss(gather):
+                def f(p):
+                    return jnp.sum(gather(p, idx).astype(jnp.float32)
+                                   * cot.astype(jnp.float32))
+                return f
+
+            gref = _run(cpu, jax.grad(loss(ref_gather)), pts)
+            ggot = _run(tpu, jax.grad(loss(mxu_group_points)), pts)
+            gr = np.asarray(gref, np.float32)
+            gg = np.asarray(ggot, np.float32)
+            bd = float(np.max(np.abs(gg - gr)))
+            scale = float(np.max(np.abs(gr))) or 1.0
+            ok = fd == 0.0 and bd / scale < 1e-5
+            print(f"group_points C={c:3d} {jnp.dtype(dt).name:9s} "
+                  f"fwd max|d|={fd:.3e} bwd max|d|={bd:.3e} "
+                  f"(rel {bd/scale:.2e}) {'OK' if ok else 'FAIL'}",
+                  flush=True)
+            FAILED |= not ok
+
+
+def check_neighbors(tpu, cpu):
+    global FAILED
+    from cmflow_tpu.ops import pointops
+
+    rng = np.random.default_rng(1)
+    b, n = 8, 256
+    pts = jnp.asarray(rng.standard_normal((b, n, 3)) * 10, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, n, 3)) * 10, jnp.float32)
+
+    for k in (4, 16):
+        it = _run(tpu, lambda a, b_: pointops.knn(k, a, b_), q, pts)
+        ic = _run(cpu, lambda a, b_: pointops._knn_xla(k, a, b_), q, pts)
+        mism = int((np.asarray(it) != np.asarray(ic)).sum())
+        print(f"knn k={k}: {mism} index mismatches "
+              f"{'OK' if mism == 0 else 'FAIL'}", flush=True)
+        FAILED |= mism != 0
+    for r, ns in ((2.0, 16), (4.0, 32)):
+        it = _run(tpu, lambda a, b_: pointops.ball_query(r, ns, a, b_),
+                  pts, q)
+        ic = _run(cpu, lambda a, b_: pointops._ball_query_xla(r, ns, a, b_),
+                  pts, q)
+        mism = int((np.asarray(it) != np.asarray(ic)).sum())
+        print(f"ball r={r} ns={ns}: {mism} index mismatches "
+              f"{'OK' if mism == 0 else 'FAIL'}", flush=True)
+        FAILED |= mism != 0
+
+
+def _synth_batch(seed, b, n):
+    from cmflow_tpu.data.synthetic import make_scene
+    from cmflow_tpu.data.vod import decode_sample
+
+    rng = np.random.default_rng(seed)
+    samples = []
+    for _ in range(b):
+        raw = make_scene(rng, n1=n + 16, n2=n + 16, moving_fraction=0.25)
+        samples.append(decode_sample(raw, "train", eval_mode=False,
+                                     num_points=n, rng=rng))
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    batch.pop("valid1", None), batch.pop("valid2", None)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def _grads_once(model_name, dtype, b=8, n=256):
+    """Loss + grads for one synthetic batch on THIS process's default
+    platform.  Deterministic: numpy-seeded batch, PRNGKey(0) init."""
+    from cmflow_tpu.data.vod import (VOD_CAMERA_PROJECTION,
+                                     VOD_T_CAMERA_RADAR)
+    from cmflow_tpu.models import build_model
+    from cmflow_tpu.train.steps import _frame_loss
+    from cmflow_tpu.utils.config import load_config
+
+    batch = _synth_batch(3, b, n)
+    cfg = load_config(f"configs/{model_name}.yaml",
+                      {"compute_dtype": dtype})
+    model = build_model(model_name, cfg)
+    gfeat = (jnp.zeros((b, 256), jnp.float32)
+             if model_name == "cmflow_t" else None)
+    if model_name == "raflow":
+        inputs = (batch["pc1"], batch["pc2"], batch["ft1"],
+                  batch["ft2"], batch["interval"], True)
+    elif model_name == "cmflow":
+        inputs = (batch["pc1"], batch["pc2"], batch["ft1"],
+                  batch["ft2"], batch["mask"], True)
+    else:
+        inputs = (batch["pc1"], batch["pc2"], batch["ft1"],
+                  batch["ft2"], batch["mask"], True, gfeat)
+    variables = model.init(jax.random.PRNGKey(0), *inputs)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def lossf(p):
+        kw = {"gfeat": gfeat} if model_name == "cmflow_t" else {}
+        loss, (items, _, _) = _frame_loss(
+            model_name, model, p, stats, batch,
+            jnp.asarray(VOD_CAMERA_PROJECTION),
+            jnp.asarray(VOD_T_CAMERA_RADAR), 0.3, **kw)
+        return loss, items
+
+    (loss, _), grads = jax.jit(
+        jax.value_and_grad(lossf, has_aux=True))(params)
+    flat = {("g" + jax.tree_util.keystr(k)):
+            np.asarray(jax.device_get(v), np.float32)
+            for k, v in jax.tree_util.tree_leaves_with_path(grads)}
+    return float(loss), flat
+
+
+def check_grads(model_name):
+    """TPU grads in-process vs CPU grads from a JAX_PLATFORMS=cpu
+    subprocess (sitecustomize pins this process to the axon backend;
+    the pointops TPU routing follows default_backend, so the CPU side
+    needs its own process)."""
+    import subprocess
+    import tempfile
+
+    for dtype in ("float32", "bfloat16"):
+        lt, gt = _grads_once(model_name, dtype)
+        with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+            code = (
+                "import jax; jax.config.update('jax_platforms','cpu')\n"
+                "import sys; sys.path.insert(0, '.')\n"
+                "import numpy as np\n"
+                "import importlib.util as iu\n"
+                "spec = iu.spec_from_file_location('diag',"
+                " 'scripts/diag_bf16_kernels.py')\n"
+                "m = iu.module_from_spec(spec); spec.loader.exec_module(m)\n"
+                f"loss, flat = m._grads_once({model_name!r}, {dtype!r})\n"
+                f"np.savez({f.name!r}, __loss=np.float64(loss), **flat)\n"
+            )
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+            z = np.load(f.name)
+            lc = float(z["__loss"])
+            worst = []
+            for ks, vt in gt.items():
+                vc = z[ks]
+                a = vt.astype(np.float64).ravel()
+                b_ = vc.astype(np.float64).ravel()
+                na, nb = np.linalg.norm(a), np.linalg.norm(b_)
+                cos = (float(a @ b_ / (na * nb))
+                       if na > 0 and nb > 0 else 1.0)
+                ratio = float(na / nb) if nb > 0 else (0.0 if na == 0
+                                                       else np.inf)
+                worst.append((cos, ratio, ks))
+        worst.sort()
+        print(f"{model_name} {dtype}: loss tpu={lt:.6f} cpu={lc:.6f} "
+              f"rel-dloss={abs(lt-lc)/max(abs(lc),1e-9):.2e}", flush=True)
+        for cos, ratio, ks in worst[:6]:
+            print(f"    cos={cos:+.4f} |tpu|/|cpu|={ratio:8.3f}  {ks}")
+        bad = [w for w in worst if w[0] < 0.99]
+        print(f"    leaves with cos<0.99: {len(bad)}/{len(worst)}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-grads", action="store_true")
+    ap.add_argument("--skip-kernels", action="store_true")
+    ap.add_argument("--models", default="cmflow,raflow")
+    args = ap.parse_args()
+
+    tpu = jax.devices()[0]
+    cpu = jax.local_devices(backend="cpu")[0]
+    print(f"tpu={tpu} cpu={cpu}", flush=True)
+
+    if not args.skip_kernels:
+        check_group_points(tpu, cpu)
+        check_neighbors(tpu, cpu)
+    if not args.skip_grads:
+        for m in args.models.split(","):
+            check_grads(m)
+    print("DIAG_DONE", "FAILED" if FAILED else "KERNELS_OK")
