@@ -114,23 +114,30 @@ class PointwiseMLP(nn.Module):
             )(x)
             x = checkpoint_name(x, "mlp_dot")
             if self.use_bn:
-                # in bf16 mode the activations STAY bf16 between layers
-                # (halves the [rows, C] HBM traffic); flax computes the
-                # batch statistics in float32 regardless of ``dtype``
-                # (normalization.py _compute_stats), and running stats /
-                # scale / bias are float32 params
+                # BatchNorm COMPUTES in f32 (dtype=None promotes the bf16
+                # input with the f32 scale/bias params).  Running BN's
+                # normalize+affine natively in bf16 on the TPU VPU breaks
+                # training: the (x-mean) cancellation and the backward's
+                # scale/bias reduces degrade enough that every model
+                # family stalls (round-4 bisection, docs/PERF.md "bf16
+                # train-path convergence"); the CPU emitter internally
+                # evaluates bf16 elementwise math in f32, which is why
+                # CPU gates never caught it.  The output is re-rounded to
+                # bf16 below, so the materialized [rows, C] boundary
+                # tensors keep the halved HBM traffic.
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=self.bn_momentum,
                     epsilon=1e-5,
                     axis_name=self.axis_name if train else None,
-                    dtype=self.dtype,
                     name=f"bn_{i}",
                 )(x)
             if self.negative_slope > 0:
                 x = nn.leaky_relu(x, self.negative_slope)
             else:
                 x = nn.relu(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)  # bf16 materialization boundary
         return x
 
 
@@ -192,17 +199,23 @@ class PointLocalFeature(nn.Module):
         if self.dtype is not None:
             # bf16 mode: pre-round the gathered base — the MXU one-hot
             # gather runs single-pass (vs hi/lo two-pass for f32), in
-            # BOTH directions of the train step
+            # BOTH directions of the train step.  (Exonerated for the
+            # round-4 bf16 convergence stall: ~0.4% forward noise, and
+            # the XLA-gather bisect run failed identically without it.)
             base = base.astype(self.dtype)
             off = off.astype(self.dtype)
         pre = checkpoint_name(
             pointops.group_points(base, idx) - off[:, :, None, :],
             "grouped_dot")
+        # bn0 computes in f32 (same TPU-bf16 convergence constraint as
+        # PointwiseMLP); the bf16 re-round keeps the boundary tensors half
         h = nn.relu(nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name if train else None, dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
             name="bn0",
         )(pre))
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
 
         if len(self.mlp) > 1:
             h = PointwiseMLP(self.mlp[1:], axis_name=self.axis_name,
