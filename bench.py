@@ -33,25 +33,50 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# set once the headline JSON line is on stdout — from then on, a watchdog
+# fire or budget exhaustion is a clean exit (the driver has its artifact),
+# not a failure (round 4's driver bench timed out mid-secondary-rows and
+# the WHOLE record parsed as null)
+_HEADLINE_OUT = False
+_T_START = time.time()
+# wall budget for SECONDARY rows: once exceeded, remaining secondary rows
+# are skipped with a named log line (each is a fresh multi-minute remote
+# compile; the persistent compile cache does not work on this tunnel)
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+
+
 def _start_watchdog():
     """Hard-exit if the run wedges (the tunneled TPU backend can hang at
     init when the tunnel is down — observed 2026-08-17: even backend
     discovery blocks forever).  A bounded failure beats an infinite hang
-    for whoever invokes the bench."""
+    for whoever invokes the bench — and once the headline JSON is out,
+    a bounded SUCCESS."""
     import threading
 
     limit = float(os.environ.get("BENCH_WATCHDOG_S", "2700"))
 
     def fire():
         log(f"bench watchdog: no completion after {limit:.0f}s "
-            "(tunnel wedged?) — aborting")
+            "(tunnel wedged?) — aborting"
+            + (" (headline already emitted: exiting 0)" if _HEADLINE_OUT
+               else ""))
         sys.stderr.flush()
-        os._exit(3)
+        os._exit(0 if _HEADLINE_OUT else 3)
 
     t = threading.Timer(limit, fire)
     t.daemon = True
     t.start()
     return t
+
+
+def _budget_left(row_name):
+    """True if there is wall budget left for another secondary row."""
+    used = time.time() - _T_START
+    if used > BENCH_BUDGET_S:
+        log(f"SKIPPED secondary row '{row_name}': wall budget exhausted "
+            f"({used:.0f}s > BENCH_BUDGET_S={BENCH_BUDGET_S:.0f}s)")
+        return False
+    return True
 
 
 def make_clouds(b, n, seed=0):
@@ -510,10 +535,15 @@ def bench_torch_cpu(b, n):
 
 
 def main():
+    global _HEADLINE_OUT
     _start_watchdog()
-    # headline: the bf16 serving mode — the production-serving
-    # configuration (single-pass MXU gathers; parity-tested against the
-    # f32 engine, tests/test_fused.py bf16 test); f32 reported alongside
+
+    # --- HEADLINE rows (round-4 lesson: the driver scores the FIRST JSON
+    # line on stdout; everything needed for it runs first, and the line is
+    # printed the moment these rows exist — a slow secondary compile can
+    # no longer zero the artifact) ---------------------------------------
+    # bf16 serving is the production configuration (single-pass MXU
+    # gathers; parity-tested, tests/test_fused.py); f32 reported alongside
     bf16_fps = bf16_ms = bf16_spread = None
     try:
         bf16_fps, bf16_ms, bf16_spread = bench_tpu_eval(
@@ -530,16 +560,9 @@ def main():
     tpu_fps = bf16_fps if bf16_fps is not None else f32_fps
     headline_mode = "bfloat16" if bf16_fps is not None else "float32"
 
-    # the unfused path costs another long remote compile; opt-in
-    unfused_fps = None
-    if os.environ.get("BENCH_UNFUSED"):
-        try:
-            unfused_fps, _, _ = bench_tpu_eval(BATCH, N_POINTS, fused=False)
-        except Exception as e:
-            log(f"unfused eval bench failed: {e}")
     try:
         train_fps = bench_tpu_train(BATCH, N_POINTS)
-    except Exception as e:  # train bench is secondary — never sink the run
+    except Exception as e:  # train rows must not sink the eval headline
         log(f"train bench failed: {e}")
         train_fps = None
     try:
@@ -547,42 +570,8 @@ def main():
     except Exception as e:
         log(f"bf16 train bench failed: {e}")
         train_bf16_fps = None
-    # padded real-VoD-frame shape (frames pad up to ~512); opt-out via
-    # BENCH_N512=0 — two extra ~8 s serving compiles
-    n512_fps = n512_f32_fps = None
-    if os.environ.get("BENCH_N512", "1") != "0" and N_POINTS != 512:
-        try:
-            n512_fps, _, _ = bench_tpu_eval(max(BATCH // 2, 1), 512,
-                                            dtype_name="bfloat16")
-        except Exception as e:
-            log(f"N=512 eval bench failed: {e}")
-        try:
-            n512_f32_fps, _, _ = bench_tpu_eval(max(BATCH // 2, 1), 512)
-        except Exception as e:
-            log(f"N=512 f32 eval bench failed: {e}")
-    # the other two model families (VERDICT r2 #4); opt-out via
-    # BENCH_FAMILIES=0
-    raflow_fps = cmt_eval_fps = cmt_train_fps = None
-    cmt_train_bf16_fps = None
-    if os.environ.get("BENCH_FAMILIES", "1") != "0":
-        try:
-            raflow_fps = bench_tpu_raflow_eval(BATCH, N_POINTS)
-        except Exception as e:
-            log(f"raflow eval bench failed: {e}")
-        try:
-            cmt_eval_fps = bench_tpu_cmflow_t_eval(BATCH, N_POINTS)
-        except Exception as e:
-            log(f"cmflow_t eval bench failed: {e}")
-        try:
-            cmt_train_fps = bench_tpu_cmflow_t_train(
-                max(BATCH // 4, 1), N_POINTS)
-        except Exception as e:
-            log(f"cmflow_t train bench failed: {e}")
-        try:
-            cmt_train_bf16_fps = bench_tpu_cmflow_t_train(
-                max(BATCH // 4, 1), N_POINTS, dtype_name="bfloat16")
-        except Exception as e:
-            log(f"cmflow_t bf16 train bench failed: {e}")
+    # the torch-CPU baseline is cheap (B=1, few iters) and feeds
+    # vs_baseline — part of the headline record
     try:
         cpu_fps = bench_torch_cpu(CPU_BATCH, N_POINTS)
     except Exception as e:
@@ -607,29 +596,84 @@ def main():
                 round(f32_fps, 2) if f32_fps else None,
             "f32_eval_spread_frac":
                 round(f32_spread, 3) if f32_spread is not None else None,
-            "unfused_eval_frames_per_sec":
-                round(unfused_fps, 2) if unfused_fps else None,
             "train_frames_per_sec": round(train_fps, 2) if train_fps else None,
             "train_bf16_frames_per_sec":
                 round(train_bf16_fps, 2) if train_bf16_fps else None,
             "torch_cpu_frames_per_sec": round(cpu_fps, 2) if cpu_fps else None,
-            "n512_bf16_eval_frames_per_sec":
-                round(n512_fps, 2) if n512_fps else None,
-            "n512_f32_eval_frames_per_sec":
-                round(n512_f32_fps, 2) if n512_f32_fps else None,
-            "raflow_eval_fps":
-                round(raflow_fps, 2) if raflow_fps else None,
-            "cmflow_t_eval_fps":
-                round(cmt_eval_fps, 2) if cmt_eval_fps else None,
-            "cmflow_t_train_fps":
-                round(cmt_train_fps, 2) if cmt_train_fps else None,
-            "cmflow_t_train_bf16_fps":
-                round(cmt_train_bf16_fps, 2) if cmt_train_bf16_fps else None,
             "batch": BATCH,
             "n_points": N_POINTS,
         },
     }
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
+    _HEADLINE_OUT = True
+    log(f"headline JSON emitted at t+{time.time() - _T_START:.0f}s; "
+        "running secondary rows")
+
+    # --- SECONDARY rows (stderr + BENCH_FULL.json only; each guarded by
+    # the wall budget so they can never starve the caller's timeout) -----
+    extra = record["extra"]
+    # the unfused path costs another long remote compile; opt-in
+    if os.environ.get("BENCH_UNFUSED") and _budget_left("unfused eval"):
+        try:
+            unfused_fps, _, _ = bench_tpu_eval(BATCH, N_POINTS, fused=False)
+            extra["unfused_eval_frames_per_sec"] = round(unfused_fps, 2)
+        except Exception as e:
+            log(f"unfused eval bench failed: {e}")
+    # padded real-VoD-frame shape (frames pad up to ~512); opt-out via
+    # BENCH_N512=0 — two extra ~8 s serving compiles
+    if os.environ.get("BENCH_N512", "1") != "0" and N_POINTS != 512:
+        if _budget_left("N=512 bf16 eval"):
+            try:
+                n512_fps, _, _ = bench_tpu_eval(max(BATCH // 2, 1), 512,
+                                                dtype_name="bfloat16")
+                extra["n512_bf16_eval_frames_per_sec"] = round(n512_fps, 2)
+            except Exception as e:
+                log(f"N=512 eval bench failed: {e}")
+        if _budget_left("N=512 f32 eval"):
+            try:
+                n512_f32_fps, _, _ = bench_tpu_eval(max(BATCH // 2, 1), 512)
+                extra["n512_f32_eval_frames_per_sec"] = round(n512_f32_fps, 2)
+            except Exception as e:
+                log(f"N=512 f32 eval bench failed: {e}")
+    # the other two model families (VERDICT r2 #4); opt-out via
+    # BENCH_FAMILIES=0
+    if os.environ.get("BENCH_FAMILIES", "1") != "0":
+        if _budget_left("raflow eval"):
+            try:
+                raflow_fps = bench_tpu_raflow_eval(BATCH, N_POINTS)
+                extra["raflow_eval_fps"] = round(raflow_fps, 2)
+            except Exception as e:
+                log(f"raflow eval bench failed: {e}")
+        if _budget_left("cmflow_t eval"):
+            try:
+                cmt_eval_fps = bench_tpu_cmflow_t_eval(BATCH, N_POINTS)
+                extra["cmflow_t_eval_fps"] = round(cmt_eval_fps, 2)
+            except Exception as e:
+                log(f"cmflow_t eval bench failed: {e}")
+        if _budget_left("cmflow_t clip-train f32"):
+            try:
+                cmt_train_fps = bench_tpu_cmflow_t_train(
+                    max(BATCH // 4, 1), N_POINTS)
+                extra["cmflow_t_train_fps"] = round(cmt_train_fps, 2)
+            except Exception as e:
+                log(f"cmflow_t train bench failed: {e}")
+        if _budget_left("cmflow_t clip-train bf16"):
+            try:
+                cmt_train_bf16_fps = bench_tpu_cmflow_t_train(
+                    max(BATCH // 4, 1), N_POINTS, dtype_name="bfloat16")
+                extra["cmflow_t_train_bf16_fps"] = round(cmt_train_bf16_fps, 2)
+            except Exception as e:
+                log(f"cmflow_t bf16 train bench failed: {e}")
+
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1)
+        log(f"full record (headline + secondary rows) -> {full_path}")
+    except OSError as e:
+        log(f"could not write {full_path}: {e}")
+    log("FULL RECORD: " + json.dumps(record))
     # the tunneled TPU platform hangs interpreter teardown; hard-exit after
     # the JSON line is out (all timings already fetched their values)
     from cmflow_tpu.utils.runtime import exit_now_if_tunneled

@@ -159,9 +159,12 @@ def make_train_step_seq(
     (clip_util.py:34-66).
 
     ``model_name`` selects the per-frame loss the same way
-    :func:`make_train_step` does (the reference's loss registry,
-    losses/loss_dict.py:5-35, permits clip training for any model); the
-    model must expose a ``prop_width`` recurrent carry."""
+    :func:`make_train_step` does.  The reference's clip trainer only ever
+    runs cmflow_t (clip_util.py:43), but its loss registry
+    (losses/loss_dict.py:5-35) is model-keyed, so non-recurrent models
+    are accepted here too: when the per-frame loss yields no new carry
+    (cmflow/raflow), the incoming ``gfeat`` is carried through unchanged
+    to keep the ``lax.scan`` carry pytree static."""
     proj = jnp.asarray(calib_projection)
     tcr = jnp.asarray(calib_t_camera_radar)
     axis = DATA_AXIS if mesh is not None else None
@@ -187,6 +190,8 @@ def make_train_step_seq(
             (_, (items, new_stats, gfeat_new)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(st.params)
+            if gfeat_new is None:  # non-recurrent per-frame loss
+                gfeat_new = gfeat
             if axis is not None:
                 grads = lax.pmean(grads, axis)
                 items = lax.pmean(items, axis)

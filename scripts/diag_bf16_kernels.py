@@ -209,6 +209,12 @@ def check_grads(model_name):
         bad = [w for w in worst if w[0] < 0.99]
         print(f"    leaves with cos<0.99: {len(bad)}/{len(worst)}",
               flush=True)
+        # gate: bf16 grads legitimately drift more than f32 ones, but a
+        # negative/near-zero cosine on any leaf means a wrong gradient,
+        # not rounding (r4 advice: this check used to be report-only)
+        global FAILED
+        thres = 0.90 if dtype == "bfloat16" else 0.99
+        FAILED |= any(w[0] < thres for w in worst)
 
 
 if __name__ == "__main__":
@@ -229,3 +235,4 @@ if __name__ == "__main__":
         for m in args.models.split(","):
             check_grads(m)
     print("DIAG_DONE", "FAILED" if FAILED else "KERNELS_OK")
+    sys.exit(1 if FAILED else 0)

@@ -12,7 +12,11 @@
 # {"test": 2048}, clips_per_partition=32, seed=11), CKPT (default
 # checkpoints/conv60_cmflow/models/best), BATCH (default 64).
 # Timing discipline (CLAUDE.md): run on an otherwise-idle host.
-set -e
+# -o pipefail: a crashed CLI eval must fail the A/B (with -e alone the
+# pipeline's status was grep's, silently masking crashes); the grep gets
+# `|| true` so a benign log-format change can't abort the comparison, and
+# each run's full log is kept in /tmp/pipe_ab_$WIRE.log for post-mortems.
+set -eo pipefail
 DS=${DS:-/tmp/pipe_ds}
 CKPT=${CKPT:-checkpoints/conv60_cmflow/models/best}
 BATCH=${BATCH:-64}
@@ -28,6 +32,7 @@ for WIRE in float32 int16; do
   python -m cmflow_tpu.cli.main --config configs/cmflow.yaml \
     --dataset_path "$DS" --exp_name "pipe_${WIRE}" --eval \
     --model_path "$CKPT" --eval_batch_size "$BATCH" \
-    --eval_wire "$WIRE" 2>&1 |
-    grep -E "mean RNE|inference speed|wall breakdown|prewarm|miou|RTE"
+    --eval_wire "$WIRE" 2>&1 | tee "/tmp/pipe_ab_${WIRE}.log" |
+    { grep -E "mean RNE|inference speed|wall breakdown|prewarm|miou|RTE" \
+      || true; }
 done

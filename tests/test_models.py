@@ -192,6 +192,48 @@ class TestComputeDtype:
         tr32, tr16 = np.asarray(o32[2]), np.asarray(o16[2])
         np.testing.assert_allclose(tr32, tr16, atol=2e-2)
 
+    def test_batchnorm_computes_in_f32_under_bf16(self):
+        """Structural guard on the round-4 TPU convergence fix: every
+        BatchNorm in the model must COMPUTE in f32 even when
+        compute_dtype=bfloat16 (i.e. receive no bf16 ``dtype`` and emit
+        f32; nn/blocks.py, docs/PERF.md "bf16 train-path convergence").
+        Running BN natively in bf16 on the TPU VPU stalls/diverges
+        training for every family; the CPU emitter internally evaluates
+        bf16 elementwise math in f32, so CPU gates can NEVER catch a
+        reintroduction numerically — this asserts the structure instead.
+        """
+        import types
+
+        import flax.linen as fnn
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        b, n = 2, 64
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+
+        m16 = build_model(
+            "cmflow", types.SimpleNamespace(compute_dtype="bfloat16"))
+        v = m16.init({"params": jax.random.PRNGKey(0)},
+                     pc1, pc2, ft1, ft2, None, False)
+        # train mode — the constraint is about the TRAIN-path BN math
+        _, mut = m16.apply(
+            v, pc1, pc2, ft1, ft2, None, True,
+            mutable=["batch_stats", "intermediates"],
+            capture_intermediates=lambda mdl, _: isinstance(
+                mdl, fnn.BatchNorm),
+        )
+        bn_outs = jax.tree_util.tree_leaves(mut["intermediates"])
+        assert bn_outs, "no BatchNorm intermediates captured"
+        for out in bn_outs:
+            assert out.dtype == jnp.float32, (
+                "BatchNorm emitted %s under compute_dtype=bfloat16 — the "
+                "TPU bf16-BN convergence bug is back (docs/PERF.md 'bf16 "
+                "train-path convergence')" % out.dtype)
+
 
 class TestRemat:
     @pytest.mark.parametrize("mode", [True, "dots"])

@@ -115,6 +115,25 @@ class TestCMFlowTTraining:
         assert not np.allclose(
             np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
 
+    def test_clip_scan_step_non_recurrent_model(self):
+        """Clip training a NON-recurrent model must not crash at trace
+        time (r4 advice: _frame_loss returns gfeat_new=None for
+        cmflow/raflow, which used to mismatch the scan carry pytree;
+        reachable via train_experiment with dataset=vodClipDataset)."""
+        b, t, n = 2, 2, 64
+        f0 = synth_batch(3, b=b, n=n)
+        f1 = synth_batch(4, b=b, n=n)
+        clip = jax.tree_util.tree_map(
+            lambda a, c: jnp.stack([a, c], axis=1), f0, f1)
+        model = build_model("cmflow")
+        state = init_state(model, "cmflow", f0)
+        step = steplib.make_train_step_seq(
+            model, VOD_CAMERA_PROJECTION, VOD_T_CAMERA_RADAR,
+            model_name="cmflow")
+        state, items = step(state, clip)
+        assert np.isfinite(float(items["Loss"]))
+        assert int(state.step) == 2
+
     def test_eval_carry(self):
         batch = synth_batch(5, b=2, n=64)
         model = build_model("cmflow_t")
