@@ -21,6 +21,7 @@ never applies it (models/model.py:12-17), so defaults are the real recipe.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -37,6 +38,53 @@ Array = jax.Array
 torch_kernel_init = nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform"
 )
+
+
+def _bf16_chain_mode() -> str:
+    """bf16 activation-chain bisection knob (round-5 follow-up to the
+    round-4 BN-f32 fix).  The round-4 bisection's CONVERGING run
+    (`conv_cmflow_bf16_bnf32`, CMFLOW_BF16_BN_F32=1) tested round-2
+    semantics — BN emits f32, activations STAY f32, gather bases not
+    pre-rounded — but the committed fix kept the post-activation bf16
+    re-rounds and the pre-rounded bases, and that configuration still
+    stalls on TPU (round-5 gate `conv_cmflow_bf16_r5`: flat 0.25 over
+    36 epochs).  CMFLOW_BF16_CHAIN bisects the two remaining deltas:
+
+      "full"   — as shipped round 4 (re-rounds + pre-rounds)
+      "nopre"  — gather bases/offsets stay f32 (hi/lo two-pass MXU
+                 gathers; kills the cancellation amplification of
+                 ``gather(feat+xyz@w) - xyz@w`` under bf16 rounding)
+      "f32act" — activations stay f32 after each BN/activation
+      "lastf32"— only the FINAL layer of each BN'd PointwiseMLP (the
+                 tensor feeding a max-pool) stays f32; wide mid-chain
+                 boundaries keep bf16 traffic
+      "r2"     — both (the configuration the round-4 gate proved)
+      "auto"   — the PRODUCTION default: lastf32 in train mode, full in
+                 eval mode (eval has no backward; the serving parity
+                 tables certify the fully-rounded eval path)
+
+    Round-5 gate results (synthetic-320, cmflow, 16 epochs, val RNE):
+    full 0.27→flat 0.25 STALL; nopre 0.27→0.27 STALL; f32act 0.26→0.119
+    CONVERGES; lastf32 0.26→0.106 CONVERGES (best) — the culprit is the
+    post-activation bf16 re-round on the PRE-POOL tensor (bf16
+    cotangent/elementwise chains through the max-pool backward), not
+    the gather-base rounding, and only the final BN'd layer needs f32.
+    """
+    return os.environ.get("CMFLOW_BF16_CHAIN", "auto")
+
+
+def _round_boundary(train: bool, prepool: bool) -> bool:
+    """Whether a bf16 materialization boundary re-round is applied at a
+    BN'd activation.  ``prepool`` marks the final BN'd layer of a chain
+    (its output feeds a max-pool)."""
+    mode = _bf16_chain_mode()
+    if mode == "auto":
+        return not (train and prepool)
+    if mode in ("f32act", "r2"):
+        return False
+    if mode == "lastf32":
+        return not prepool
+    return True  # "full", "nopre"
 
 
 def _torch_bias_init(fan_in: int):
@@ -136,7 +184,9 @@ class PointwiseMLP(nn.Module):
                 x = nn.leaky_relu(x, self.negative_slope)
             else:
                 x = nn.relu(x)
-            if self.dtype is not None:
+            if (self.dtype is not None
+                    and _round_boundary(train, self.use_bn
+                                        and i == len(self.features) - 1)):
                 x = x.astype(self.dtype)  # bf16 materialization boundary
         return x
 
@@ -196,12 +246,16 @@ class PointLocalFeature(nn.Module):
                              features.astype(cdt), w0[3:].astype(cdt),
                              preferred_element_type=jnp.float32)
         base = feat_tx + off
-        if self.dtype is not None:
+        if (self.dtype is not None
+                and _bf16_chain_mode() not in ("nopre", "r2")):
             # bf16 mode: pre-round the gathered base — the MXU one-hot
             # gather runs single-pass (vs hi/lo two-pass for f32), in
-            # BOTH directions of the train step.  (Exonerated for the
-            # round-4 bf16 convergence stall: ~0.4% forward noise, and
-            # the XLA-gather bisect run failed identically without it.)
+            # BOTH directions of the train step.  NOTE the round-4
+            # "exoneration" was wrong: the noMXU bisect run also
+            # pre-rounded, so it only exonerated the Pallas/one-hot
+            # KERNELS, not this rounding.  The subtraction below
+            # amplifies bf16 rounding by |off|/|rel| (catastrophic
+            # cancellation at small radii) — see _bf16_chain_mode.
             base = base.astype(self.dtype)
             off = off.astype(self.dtype)
         pre = checkpoint_name(
@@ -214,7 +268,8 @@ class PointLocalFeature(nn.Module):
             axis_name=self.axis_name if train else None,
             name="bn0",
         )(pre))
-        if self.dtype is not None:
+        if (self.dtype is not None
+                and _round_boundary(train, len(self.mlp) == 1)):
             h = h.astype(self.dtype)
 
         if len(self.mlp) > 1:
@@ -357,7 +412,10 @@ class FeatureCorrelator(nn.Module):
                           preferred_element_type=jnp.float32)
         base2 = f2_tx + off2
         point_term = f1_tx - off1 + b0
-        if self.dtype is not None:  # single-pass bf16 MXU gather
+        if (self.dtype is not None
+                and _bf16_chain_mode() not in ("nopre", "r2")):
+            # single-pass bf16 MXU gather (same cancellation caveat as
+            # PointLocalFeature — see _bf16_chain_mode)
             base2 = base2.astype(self.dtype)
             point_term = point_term.astype(self.dtype)
         pre = checkpoint_name(
@@ -383,7 +441,9 @@ class FeatureCorrelator(nn.Module):
 
         weights = WeightNet(self.mlp[-1], dtype=self.dtype,
                             name="weightnet2")(direction)
-        p2p = (point_to_patch if self.dtype is None
+        p2p = (point_to_patch
+               if self.dtype is None
+               or _bf16_chain_mode() in ("nopre", "r2")
                else point_to_patch.astype(self.dtype))
         grouped_cost = checkpoint_name(
             pointops.group_points(p2p, knn_idx), "grouped_dot")

@@ -234,6 +234,50 @@ class TestComputeDtype:
                 "TPU bf16-BN convergence bug is back (docs/PERF.md 'bf16 "
                 "train-path convergence')" % out.dtype)
 
+    def test_prepool_boundary_f32_in_train_bf16(self):
+        """Structural guard on the round-5 bf16-chain fix: in TRAIN mode
+        under compute_dtype=bfloat16 the final BN'd layer of every
+        PointwiseMLP (the pre-pool boundary) must emit f32 — re-rounding
+        it to bf16 stalls TPU training (docs/PERF.md 'bf16 train-path
+        convergence', round-5 bisection: full/nopre stall, lastf32
+        converges).  In EVAL mode the boundary stays bf16 (the certified
+        serving numerics)."""
+        import types
+
+        import jax
+        import jax.numpy as jnp
+
+        from cmflow_tpu.nn.blocks import PointwiseMLP
+
+        rng = np.random.RandomState(0)
+        b, n = 2, 64
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        m16 = build_model(
+            "cmflow", types.SimpleNamespace(compute_dtype="bfloat16"))
+        v = m16.init({"params": jax.random.PRNGKey(0)},
+                     pc1, pc2, ft1, ft2, None, False)
+        filt = (lambda mdl, _: isinstance(mdl, PointwiseMLP)
+                and mdl.use_bn and mdl.dtype is not None)
+        _, mut_t = m16.apply(
+            v, pc1, pc2, ft1, ft2, None, True,
+            mutable=["batch_stats", "intermediates"],
+            capture_intermediates=filt)
+        outs_t = jax.tree_util.tree_leaves(mut_t["intermediates"])
+        assert outs_t, "no BN'd PointwiseMLP intermediates captured"
+        assert all(o.dtype == jnp.float32 for o in outs_t), (
+            "train-mode pre-pool boundary re-rounded to bf16 — the "
+            "round-5 bf16 stall is back")
+        _, mut_e = m16.apply(
+            v, pc1, pc2, ft1, ft2, None, False,
+            mutable=["intermediates"], capture_intermediates=filt)
+        outs_e = jax.tree_util.tree_leaves(mut_e["intermediates"])
+        assert outs_e and all(o.dtype == jnp.bfloat16 for o in outs_e), (
+            "eval-mode boundary dtype changed — serving parity tables "
+            "no longer describe this tree")
+
 
 class TestRemat:
     @pytest.mark.parametrize("mode", [True, "dots"])
