@@ -250,12 +250,11 @@ class PointLocalFeature(nn.Module):
                 and _bf16_chain_mode() not in ("nopre", "r2")):
             # bf16 mode: pre-round the gathered base — the MXU one-hot
             # gather runs single-pass (vs hi/lo two-pass for f32), in
-            # BOTH directions of the train step.  NOTE the round-4
-            # "exoneration" was wrong: the noMXU bisect run also
-            # pre-rounded, so it only exonerated the Pallas/one-hot
-            # KERNELS, not this rounding.  The subtraction below
-            # amplifies bf16 rounding by |off|/|rel| (catastrophic
-            # cancellation at small radii) — see _bf16_chain_mode.
+            # BOTH directions of the train step.  Properly exonerated
+            # for the bf16 convergence stall by the round-5 "nopre"
+            # bisection arm (removing ONLY this rounding still stalls;
+            # the pre-pool boundary was the culprit — docs/PERF.md
+            # "bf16 train-path convergence").
             base = base.astype(self.dtype)
             off = off.astype(self.dtype)
         pre = checkpoint_name(
