@@ -44,7 +44,10 @@ class Config:
     # eval host->device wire format: float32 (lossless, default) | int16
     # (symmetric per-array quantization, ~45% smaller packed batches —
     # 1.8 mm coordinate resolution at VoD range, for host-link-bound runs)
-    eval_wire: str = "float32"
+    # int16 measured −18% end-to-end eval wall on the upload-bound
+    # tunnel host at ~1e-5 metric deltas (docs/PERF.md "Pipeline" A/B);
+    # float32 restores the lossless wire
+    eval_wire: str = "int16"
     nan_check: bool = False  # jax_debug_nans toggle (SURVEY.md §5 sanitizers)
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
