@@ -133,6 +133,14 @@ class TestCMFlowTTraining:
         state, items = step(state, clip)
         assert np.isfinite(float(items["Loss"]))
         assert int(state.step) == 2
+        # raflow takes the same path (self-supervised loss, no carry)
+        model_r = build_model("raflow")
+        state_r = init_state(model_r, "raflow", f0)
+        step_r = steplib.make_train_step_seq(
+            model_r, VOD_CAMERA_PROJECTION, VOD_T_CAMERA_RADAR,
+            model_name="raflow")
+        state_r, items_r = step_r(state_r, clip)
+        assert np.isfinite(float(items_r["Loss"]))
 
     def test_eval_carry(self):
         batch = synth_batch(5, b=2, n=64)
