@@ -278,6 +278,51 @@ class TestComputeDtype:
             "eval-mode boundary dtype changed — serving parity tables "
             "no longer describe this tree")
 
+    def test_bf16_chain_knob_arms(self):
+        """Each CMFLOW_BF16_CHAIN bisection arm produces its documented
+        train-mode boundary dtypes (guards the knob against rot — the
+        arms are how a future bf16 regression gets re-bisected)."""
+        import os
+        import types
+
+        import jax
+        import jax.numpy as jnp
+
+        from cmflow_tpu.nn.blocks import PointwiseMLP
+
+        rng = np.random.RandomState(0)
+        b, n = 2, 48
+        pc1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 5)
+        pc2 = pc1 + jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+        ft1 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        ft2 = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        m16 = build_model(
+            "cmflow", types.SimpleNamespace(compute_dtype="bfloat16"))
+        v = m16.init({"params": jax.random.PRNGKey(0)},
+                     pc1, pc2, ft1, ft2, None, False)
+        filt = (lambda mdl, _: isinstance(mdl, PointwiseMLP)
+                and mdl.use_bn and mdl.dtype is not None)
+
+        def final_layer_dtypes(mode):
+            os.environ["CMFLOW_BF16_CHAIN"] = mode
+            try:
+                _, mut = m16.apply(
+                    v, pc1, pc2, ft1, ft2, None, True,
+                    mutable=["batch_stats", "intermediates"],
+                    capture_intermediates=filt)
+            finally:
+                del os.environ["CMFLOW_BF16_CHAIN"]
+            return {jnp.dtype(o.dtype) for o
+                    in jax.tree_util.tree_leaves(mut["intermediates"])}
+
+        # full: every boundary (incl. pre-pool) re-rounds to bf16
+        assert final_layer_dtypes("full") == {jnp.dtype(jnp.bfloat16)}
+        # f32act / r2: no boundary re-rounds at all
+        assert final_layer_dtypes("f32act") == {jnp.dtype(jnp.float32)}
+        assert final_layer_dtypes("r2") == {jnp.dtype(jnp.float32)}
+        # lastf32 == auto-in-train: final BN'd layer f32
+        assert final_layer_dtypes("lastf32") == {jnp.dtype(jnp.float32)}
+
 
 class TestRemat:
     @pytest.mark.parametrize("mode", [True, "dots"])
