@@ -219,6 +219,49 @@ def bench_tpu_train(b, n, dtype_name="float32", remat=False):
     return fps
 
 
+def bench_tpu_raflow_train(b, n, dtype_name="bfloat16"):
+    """RaFlow self-supervised train step (fwd+bwd+Adam; the reference's
+    raflow recipe, main.py:104-170 with the raflow loss)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmflow_tpu.data.vod import (VOD_CAMERA_PROJECTION,
+                                     VOD_T_CAMERA_RADAR)
+    from cmflow_tpu.models import build_model
+    from cmflow_tpu.train import steps as steplib
+    from cmflow_tpu.train.state import create_train_state, make_optimizer
+
+    model = build_model(
+        "raflow", types.SimpleNamespace(compute_dtype=dtype_name,
+                                        rigid_thres=0.15))
+    pc1, pc2, ft1, ft2 = map(jnp.asarray, make_clouds(b, n))
+    batch = {
+        "pc1": pc1, "pc2": pc2, "ft1": ft1, "ft2": ft2,
+        "interval": jnp.full((b,), 0.1, jnp.float32),
+    }
+    interval = batch["interval"]
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (pc1, pc2, ft1, ft2, interval, True), make_optimizer())
+    step = steplib.make_train_step("raflow", model, VOD_CAMERA_PROJECTION,
+                                   VOD_T_CAMERA_RADAR)
+    state, items = step(state, batch)
+    float(items["Loss"])
+    iters = max(TPU_ITERS // 2, 5)
+    st = {"s": state}
+
+    def run(carry):
+        st["s"], items = step(st["s"], batch)
+        return items
+
+    fps, _, _ = _timed_chain(
+        run, lambda it: float(it["Loss"]), iters,
+        f"tpu raflow train ({dtype_name}) B={b} N={n}", b)
+    return fps
+
+
 # extra recorded passes appended while the window spread exceeds 5%
 # (r3's raflow row measured 6% once: a single contaminated pass).  The
 # spread is then computed over the best-agreeing BENCH_PASSES-sized
@@ -644,6 +687,12 @@ def main():
                 extra["raflow_eval_fps"] = round(raflow_fps, 2)
             except Exception as e:
                 log(f"raflow eval bench failed: {e}")
+        if _budget_left("raflow train bf16"):
+            try:
+                raflow_train_fps = bench_tpu_raflow_train(BATCH, N_POINTS)
+                extra["raflow_train_bf16_fps"] = round(raflow_train_fps, 2)
+            except Exception as e:
+                log(f"raflow train bench failed: {e}")
         if _budget_left("cmflow_t eval"):
             try:
                 cmt_eval_fps = bench_tpu_cmflow_t_eval(BATCH, N_POINTS)
