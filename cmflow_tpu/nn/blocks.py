@@ -170,9 +170,11 @@ class PointwiseMLP(nn.Module):
                 # family stalls (round-4 bisection, docs/PERF.md "bf16
                 # train-path convergence"); the CPU emitter internally
                 # evaluates bf16 elementwise math in f32, which is why
-                # CPU gates never caught it.  The output is re-rounded to
-                # bf16 below, so the materialized [rows, C] boundary
-                # tensors keep the halved HBM traffic.
+                # CPU gates never caught it.  Mid-chain outputs re-round
+                # to bf16 below (halved [rows, C] boundary HBM traffic);
+                # the FINAL BN'd layer — the pre-pool tensor — stays f32
+                # in train mode (_round_boundary; the round-5 bisection
+                # showed re-rounding it stalls TPU training).
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=self.bn_momentum,
